@@ -1,0 +1,55 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (finetune.py:465 hardcodes cuda:0); scale-out is
+process-level sweeps. Here parallelism is first-class: every train step is
+jitted over a ``jax.sharding.Mesh`` with a ``data`` axis (primary, batch
+sharded over ICI) and an optional ``model`` axis (tensor parallel for the
+large text encoders). XLA inserts the collectives (psum for grad
+all-reduce) from the sharding annotations.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    ``n_data=None`` uses every device on the data axis.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of arrays) sharded over the data axis."""
+    sharding = data_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
