@@ -29,12 +29,9 @@ def set_random_seed(seed: int) -> None:
         pass
 
 
-def cname2lab(benchmark_train: list[dict]) -> dict[str, int]:
-    """classname -> label mapping from a list of item dicts.
+def cname2lab(lab2cname: dict[int, str]) -> dict[str, int]:
+    """Invert a label->classname map to lowercase_underscored name->label.
 
     Parity with engine/tools/utils.py:120-123.
     """
-    container = set()
-    for item in benchmark_train:
-        container.add((item["label"], item["classname"]))
-    return {classname: label for label, classname in container}
+    return {v.lower().replace(" ", "_"): k for k, v in lab2cname.items()}
