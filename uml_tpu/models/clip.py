@@ -1,0 +1,262 @@
+"""CLIP in flax: ViT image tower + causal text transformer with EOT pooling.
+
+From-scratch JAX implementation with behavioral parity to the vendored
+OpenAI CLIP (engine/clip/model.py): QuickGELU activations, LayerNorm
+computed in fp32 (model.py:153-159), pre-LN residual blocks, class token +
+learned positional embeddings, ``ln_post`` on the CLS token + linear
+projection for images (model.py:219-239), and text pooling at the EOT token
+(= argmax of token ids, model.py:342-362) through ``text_projection``.
+
+Reference-API parity surface:
+  * ``encode_image(pixels, return_tokens=...)``   (model.py:339-340)
+  * ``encode_text(tokens, return_eot=..., return_tokens=...)``
+  * ``embed_dim`` attribute                        (model.py:295)
+  * named configs "ViT-B/16" / "ViT-B/32"        (RN50/RN101's ModifiedResNet
+    tower is a later milestone; the four names are dispatched here)
+
+TPU-first details: batch-major [B, S, D] everywhere (no torch LND
+permutes); the QKV projection is one packed matmul; attention runs through
+uml_tpu.ops.multi_head_attention (Pallas flash kernel on TPU); compute
+dtype is a parameter (bf16 for throughput) with LN + softmax statistics in
+fp32.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from uml_tpu.ops.attention import multi_head_attention
+
+
+@dataclass(frozen=True)
+class ClipConfig:
+    embed_dim: int
+    image_resolution: int
+    vision_layers: int
+    vision_width: int
+    vision_patch_size: int
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+
+CLIP_CONFIGS = {
+    "ViT-B/16": ClipConfig(512, 224, 12, 768, 16),
+    "ViT-B/32": ClipConfig(512, 224, 12, 768, 32),
+    "ViT-L/14": ClipConfig(768, 224, 24, 1024, 14,
+                           transformer_width=768, transformer_heads=12),
+}
+
+
+def quick_gelu(x):
+    return x * nn.sigmoid(1.702 * x)
+
+
+class FP32LayerNorm(nn.Module):
+    """LayerNorm evaluated in fp32, result cast back (model.py:153-159).
+
+    epsilon matches torch's 1e-5 (flax defaults to 1e-6).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)
+        )
+        return y.astype(orig)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, causal: bool = False):
+        b, s, _ = x.shape
+        h = self.heads
+        d = self.width // h
+
+        y = FP32LayerNorm(name="ln_1")(x)
+        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(y)
+        qkv = qkv.reshape(b, s, 3, h, d).transpose(2, 0, 3, 1, 4)  # [3, B, H, S, D]
+        attn = multi_head_attention(
+            qkv[0], qkv[1], qkv[2], causal=causal, impl=self.attn_impl
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, self.width)
+        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
+
+        y = FP32LayerNorm(name="ln_2")(x)
+        y = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(y)
+        y = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(quick_gelu(y))
+        return x + y
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, causal: bool = False):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.dtype, self.attn_impl,
+                name=f"resblocks_{i}",
+            )(x, causal=causal)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    config: ClipConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, pixels, return_tokens: bool = False):
+        cfg = self.config
+        scale = cfg.vision_width**-0.5
+
+        x = nn.Conv(
+            cfg.vision_width,
+            kernel_size=(cfg.vision_patch_size, cfg.vision_patch_size),
+            strides=(cfg.vision_patch_size, cfg.vision_patch_size),
+            use_bias=False,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(pixels.astype(self.dtype))  # [B, g, g, W] (NHWC)
+        b = x.shape[0]
+        x = x.reshape(b, cfg.grid_size**2, cfg.vision_width)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (cfg.vision_width,)
+        )
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (cfg.grid_size**2 + 1, cfg.vision_width),
+        )
+        cls = jnp.broadcast_to(
+            class_embedding.astype(x.dtype), (b, 1, cfg.vision_width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + positional_embedding.astype(x.dtype)
+
+        x = FP32LayerNorm(name="ln_pre")(x)
+        x = Transformer(
+            cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
+            self.dtype, self.attn_impl, name="transformer",
+        )(x)
+
+        if return_tokens:
+            return x  # [B, g^2+1, W] patch tokens incl. CLS (model.py:231-232)
+
+        x = FP32LayerNorm(name="ln_post")(x[:, 0, :])
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (cfg.vision_width, cfg.embed_dim)
+        )
+        return (x @ proj.astype(x.dtype)).astype(jnp.float32)
+
+
+class TextTransformer(nn.Module):
+    config: ClipConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, tokens, return_eot: bool = False, return_tokens: bool = False):
+        cfg = self.config
+        emb = nn.Embed(
+            cfg.vocab_size, cfg.transformer_width,
+            embedding_init=nn.initializers.normal(0.02),
+            dtype=self.dtype, name="token_embedding",
+        )(tokens)
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.context_length, cfg.transformer_width),
+        )
+        x = emb + positional_embedding[: tokens.shape[1]].astype(emb.dtype)
+
+        x = Transformer(
+            cfg.transformer_width, cfg.transformer_layers, cfg.transformer_heads,
+            self.dtype, self.attn_impl, name="transformer",
+        )(x, causal=True)
+        x = FP32LayerNorm(name="ln_final")(x)
+
+        eot_indices = jnp.argmax(tokens, axis=-1)
+        if return_tokens:
+            return (x, eot_indices) if return_eot else x
+
+        pooled = jnp.take_along_axis(x, eot_indices[:, None, None], axis=1)[:, 0]
+        text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(cfg.transformer_width**-0.5),
+            (cfg.transformer_width, cfg.embed_dim),
+        )
+        out = (pooled @ text_projection.astype(pooled.dtype)).astype(jnp.float32)
+        return (out, eot_indices) if return_eot else out
+
+
+class CLIP(nn.Module):
+    """Full CLIP: image tower + text tower + logit scale."""
+
+    config: ClipConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        self.visual = VisionTransformer(self.config, self.dtype, self.attn_impl)
+        self.text = TextTransformer(self.config, self.dtype, self.attn_impl)
+        self.logit_scale = self.param(
+            "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.07), jnp.float32)
+        )
+
+    @property
+    def embed_dim(self) -> int:
+        return self.config.embed_dim
+
+    def encode_image(self, pixels, return_tokens: bool = False):
+        return self.visual(pixels, return_tokens=return_tokens)
+
+    def encode_text(self, tokens, return_eot: bool = False, return_tokens: bool = False):
+        return self.text(tokens, return_eot=return_eot, return_tokens=return_tokens)
+
+    def __call__(self, pixels, tokens):
+        """Contrastive logits (model.py:364-378)."""
+        img = self.encode_image(pixels)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto") -> CLIP:
+    if name in ("RN50", "RN101"):
+        raise NotImplementedError(
+            "ModifiedResNet towers (RN50/RN101) are not yet implemented in the "
+            "TPU build; use ViT-B/16 or ViT-B/32."
+        )
+    if name not in CLIP_CONFIGS:
+        raise ValueError(f"Unknown CLIP encoder {name!r}; have {list(CLIP_CONFIGS)}")
+    return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl)
