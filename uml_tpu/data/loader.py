@@ -1,0 +1,65 @@
+"""Host-side image batch loader with threaded decode + prefetch.
+
+The throughput half of the feature-extraction pipeline (the reference uses
+torch DataLoader workers, features.py:152-161).  Here: a thread pool decodes
+JPEGs to uint8 224x224x3 (PIL's C decode releases the GIL), batches are
+assembled ahead of consumption with a bounded prefetch window, and
+normalization happens on device (uml_tpu.ops.normalize_images) so each
+batch crosses the host->device link as uint8.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from uml_tpu.data.transforms import load_uint8
+
+
+class ImageBatchLoader:
+    """Iterate item dicts ({'impath','label',...}) as uint8 batches.
+
+    Yields (images_uint8 [B,H,W,3], labels int64 [B], paths list[str]).
+    Deterministic order (no shuffle) like the reference's extraction loader;
+    the final partial batch is yielded as-is (drop_last=False).
+    """
+
+    def __init__(self, items, augmentation="crop", batch_size=256,
+                 num_workers=16, prefetch=4, seed=0, size=(224, 224)):
+        self.items = items
+        self.augmentation = augmentation
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.size = size
+
+    def __len__(self):
+        return (len(self.items) + self.batch_size - 1) // self.batch_size
+
+    def _decode_batch(self, batch_items, batch_idx):
+        rng = np.random.default_rng((self.seed, batch_idx))
+        imgs = np.empty((len(batch_items), *self.size, 3), dtype=np.uint8)
+        for i, item in enumerate(batch_items):
+            imgs[i] = load_uint8(item["impath"], self.augmentation,
+                                 self.size, rng)
+        labels = np.asarray([it["label"] for it in batch_items], dtype=np.int64)
+        paths = [it["impath"] for it in batch_items]
+        return imgs, labels, paths
+
+    def __iter__(self):
+        batches = [
+            self.items[i : i + self.batch_size]
+            for i in range(0, len(self.items), self.batch_size)
+        ]
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = []
+            for idx, b in enumerate(batches[: self.prefetch]):
+                futures.append(pool.submit(self._decode_batch, b, idx))
+            for idx in range(len(batches)):
+                if idx + self.prefetch < len(batches):
+                    futures.append(pool.submit(
+                        self._decode_batch, batches[idx + self.prefetch],
+                        idx + self.prefetch))
+                yield futures[idx].result()

@@ -1,0 +1,121 @@
+"""Encoder providers: pretrained-weight resolution + jitted encode loops.
+
+The reference downloads CLIP weights by URL at first use (engine/clip/
+clip.py:39-68).  This build resolves weights from local paths (zero-egress):
+
+  $UML_CLIP_WEIGHTS_DIR/<name with / -> ->.pt     e.g. ViT-B-16.pt
+
+Missing weights raise a clear error unless ``allow_random_init`` (testing).
+Encode loops pad the final batch to a fixed shape so jit compiles once.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uml_tpu.models.clip import CLIP, build_clip
+from uml_tpu.models.tokenizer import tokenize
+from uml_tpu.ops import normalize_images
+
+
+def clip_weights_path(name: str) -> str | None:
+    root = os.environ.get("UML_CLIP_WEIGHTS_DIR", "")
+    if not root:
+        return None
+    path = os.path.join(root, name.replace("/", "-") + ".pt")
+    return path if os.path.exists(path) else None
+
+
+def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False):
+    """-> (model: CLIP, variables). Ports torch weights when available."""
+    path = clip_weights_path(name)
+    if path is not None:
+        from uml_tpu.models.port_torch import load_clip_checkpoint
+
+        print(f"=> Loading CLIP weights from {path}")
+        cfg, variables = load_clip_checkpoint(path)
+        return CLIP(cfg, dtype=dtype), variables
+    if not allow_random_init:
+        raise FileNotFoundError(
+            f"No CLIP weights for {name!r}. Set UML_CLIP_WEIGHTS_DIR to a "
+            "directory containing the OpenAI checkpoint "
+            f"({name.replace('/', '-')}.pt), or pass --allow-random-init "
+            "for smoke testing."
+        )
+    print(f"=> [random-init] CLIP {name} (no pretrained weights found)")
+    model = build_clip(name, dtype=dtype)
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, model.config.image_resolution,
+                   model.config.image_resolution, 3), jnp.float32),
+        jnp.zeros((1, model.config.context_length), jnp.int32),
+    )
+    return model, variables
+
+
+class ClipEncoder:
+    """Jitted image/text encoding over a CLIP model (frozen weights)."""
+
+    def __init__(self, name: str, dtype=jnp.bfloat16,
+                 allow_random_init: bool = False):
+        self.name = name
+        self.model, self.variables = load_clip(name, dtype, allow_random_init)
+        self.embed_dim = self.model.config.embed_dim
+        self._dtype = dtype
+
+        model = self.model
+
+        @jax.jit
+        def _enc_img(v, u8):
+            pixels = normalize_images(u8, dtype)
+            return model.apply(v, pixels, method=lambda m, x: m.encode_image(x))
+
+        @jax.jit
+        def _enc_img_tokens(v, u8):
+            pixels = normalize_images(u8, dtype)
+            return model.apply(
+                v, pixels,
+                method=lambda m, x: m.encode_image(x, return_tokens=True))
+
+        @jax.jit
+        def _enc_txt(v, toks):
+            return model.apply(
+                v, toks,
+                method=lambda m, t: m.encode_text(t, return_eot=True))
+
+        @jax.jit
+        def _enc_txt_tokens(v, toks):
+            return model.apply(
+                v, toks,
+                method=lambda m, t: m.encode_text(
+                    t, return_eot=True, return_tokens=True))
+
+        self._enc_img = _enc_img
+        self._enc_img_tokens = _enc_img_tokens
+        self._enc_txt = _enc_txt
+        self._enc_txt_tokens = _enc_txt_tokens
+
+    def encode_images(self, imgs_uint8: np.ndarray, batch_pad: int | None = None,
+                      return_tokens: bool = False) -> np.ndarray:
+        """uint8 [B,H,W,3] -> features [B,D] (or [B,S,W] tokens)."""
+        n = imgs_uint8.shape[0]
+        if batch_pad is not None and n < batch_pad:
+            imgs_uint8 = np.concatenate(
+                [imgs_uint8,
+                 np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
+        fn = self._enc_img_tokens if return_tokens else self._enc_img
+        out = np.asarray(fn(self.variables, jnp.asarray(imgs_uint8)),
+                         dtype=np.float32)
+        return out[:n]
+
+    def encode_texts(self, texts: list[str], return_tokens: bool = False):
+        """list[str] -> (features [N,D] | tokens [N,77,W], eot_indices [N])."""
+        toks = tokenize(texts)
+        fn = self._enc_txt_tokens if return_tokens else self._enc_txt
+        out, eot = fn(self.variables, jnp.asarray(toks))
+        return (np.asarray(out, np.float32),
+                np.asarray(eot, np.int64))

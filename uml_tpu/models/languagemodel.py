@@ -1,0 +1,117 @@
+"""HuggingFace language-model wrapper with reference pooling semantics.
+
+Capability parity with engine/models/languagemodel.py:10-62:
+  * encoder family (BERT/RoBERTa/DeBERTa)  -> CLS-token embedding
+  * decoder family (LLaMA/Mistral/GPT-2/OPT/Bloom) -> attention-masked
+    mean-pool of the last hidden state; pad token := eos
+  * ``forward(batch, return_tokens=...)`` returning token-level states with
+    pads zeroed when requested
+
+TPU-first: prefers the Flax port of the model (runs on TPU under jit); falls
+back to torch CPU when no Flax port exists for the family.  Zero-egress
+environments must have the model in the local HF cache
+(TRANSFORMERS_OFFLINE honored).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_ENCODER_KEYS = ("bert", "roberta", "deberta")
+_DECODER_KEYS = ("llama", "mistral", "gpt2", "opt", "bloom")
+
+MODEL_ALIASES = {
+    "bloom0.56b": "bigscience/bloom-560m",
+    "bloom1.1b": "bigscience/bloom-1b1",
+    "bloom1.7b": "bigscience/bloom-1b7",
+    "bloom3b": "bigscience/bloom-3b",
+    "openllama3b": "openlm-research/open_llama_3b_v2",
+    "openllama7b": "openlm-research/open_llama_7b",
+    "openllama13b": "openlm-research/open_llama_13b",
+    "mistral7b": "mistralai/Mistral-7B-v0.1",
+}
+
+
+def model_family(model_name: str) -> str:
+    name = model_name.lower()
+    if any(k in name for k in _ENCODER_KEYS):
+        return "encoder"
+    if any(k in name for k in _DECODER_KEYS):
+        return "decoder"
+    raise ValueError(f"Unsupported model type: {model_name!r}")
+
+
+class TextModel:
+    """Tokenizer + model + pooling, backend-agnostic (flax preferred)."""
+
+    def __init__(self, model_name: str, backend: str = "auto"):
+        from transformers import AutoTokenizer
+
+        self.model_name = MODEL_ALIASES.get(model_name, model_name)
+        self.model_type = model_family(self.model_name)
+        self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
+        if self.model_type == "decoder" and self.tokenizer.pad_token is None:
+            self.tokenizer.pad_token = self.tokenizer.eos_token
+
+        self.backend = self._load_model(backend)
+
+    def _load_model(self, backend: str) -> str:
+        if backend in ("auto", "flax"):
+            try:
+                from transformers import FlaxAutoModel
+
+                self.model = FlaxAutoModel.from_pretrained(self.model_name)
+                return "flax"
+            except Exception as e:
+                if backend == "flax":
+                    raise
+                print(f"=> No flax port for {self.model_name} ({e}); using torch")
+        from transformers import AutoModel
+
+        self.model = AutoModel.from_pretrained(self.model_name)
+        self.model.eval()
+        return "torch"
+
+    @property
+    def hidden_size(self) -> int:
+        return self.model.config.hidden_size
+
+    def _last_hidden(self, input_ids: np.ndarray, attention_mask: np.ndarray):
+        if self.backend == "flax":
+            out = self.model(
+                input_ids=jnp.asarray(input_ids),
+                attention_mask=jnp.asarray(attention_mask),
+            )
+            return np.asarray(out.last_hidden_state)
+        import torch
+
+        with torch.no_grad():
+            out = self.model(
+                input_ids=torch.from_numpy(input_ids),
+                attention_mask=torch.from_numpy(attention_mask),
+            )
+        return out.last_hidden_state.numpy()
+
+    def encode(self, texts: list[str], return_tokens: bool = False):
+        """texts -> (features, indices).
+
+        indices parity with features.py:74-76: token-count per sequence when
+        return_tokens else len(text) in characters (the reference's quirk).
+        """
+        batch = self.tokenizer(texts, padding=True, truncation=True,
+                               return_tensors="np")
+        input_ids = np.asarray(batch["input_ids"])
+        attention_mask = np.asarray(batch["attention_mask"])
+        hidden = self._last_hidden(input_ids, attention_mask)  # [B, T, D]
+
+        if self.model_type == "encoder":
+            if return_tokens:
+                return hidden, attention_mask.sum(-1).astype(np.int64)
+            return hidden[:, 0, :], np.asarray([len(t) for t in texts])
+
+        mask = attention_mask[..., None].astype(hidden.dtype)
+        if return_tokens:
+            return hidden * mask, attention_mask.sum(-1).astype(np.int64)
+        pooled = (hidden * mask).sum(1) / mask.sum(1)
+        return pooled, np.asarray([len(t) for t in texts])
