@@ -23,3 +23,18 @@ cli       flag-compatible entrypoints (features/finetune/generate_fewshot/
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("UML_NO_COMPILE_CACHE") != "1":
+    # XLA compilation dominates wall-clock on remote-compile TPU relays
+    # (measured: 202s -> 15s for the MultiBench train step on a warm cache);
+    # enable the persistent cache for every entrypoint that imports uml_tpu.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("UML_COMPILE_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/uml_tpu_xla")),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
