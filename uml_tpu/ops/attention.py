@@ -43,6 +43,28 @@ def mha_reference(q, k, v, *, causal: bool = False, mask=None):
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(q.dtype), v)
 
 
+def dense_attention_bshd(q, k, v, *, causal: bool = False,
+                         softmax_dtype=jnp.float32):
+    """Layout-preserving dense attention: q,k,v AND output are [B, S, H, D].
+
+    The (b, h) axes stay where the packed-QKV reshape leaves them — XLA
+    folds them into dot_general batch dims, so no [B, S, 3HD] ->
+    [3, B, H, S, D] transpose is ever materialized.  Measured on v5e
+    (ViT-B/16, batch 512): the transpose-based path spends more HBM
+    bandwidth on layout churn than on attention math itself.
+    """
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k,
+        preferred_element_type=softmax_dtype) * (d**-0.5)
+    if causal:
+        s = q.shape[1]
+        causal_mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        scores = jnp.where(causal_mask, scores, _NEG_INF)
+    weights = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(q.dtype), v)
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
