@@ -199,26 +199,87 @@ def prepare_text_features(encoder, args, ds):
         save_cache(features, path)
 
 
-class _HFEncoderAdapter:
-    """Adapts (timm-style vision model, TextModel) pair to the encoder API.
+class _RandomTextEncoder:
+    """Deterministic hash-random text features for smoke tests when no HF
+    weights are cached (zero-egress environments)."""
 
-    Vision side requires a DINOv2 flax port (later milestone) — currently
-    text-only; encode_images raises with a clear message.
+    hidden_size = 768
+
+    def encode(self, texts, return_tokens=False):
+        feats = np.stack([
+            np.random.default_rng(abs(hash(t)) % (2**32))
+            .standard_normal(self.hidden_size).astype(np.float32)
+            for t in texts
+        ])
+        indices = np.asarray([len(t) for t in texts])
+        if return_tokens:
+            return feats[:, None, :], np.ones(len(texts), np.int64)
+        return feats, indices
+
+
+class _HFEncoderAdapter:
+    """(DINOv2/DINO vision, HF language model) pair behind the encoder API.
+
+    Mirrors the reference's timm + TextModel path (features.py:272-277);
+    images go through the same CLIP-normalization as the CLIP path
+    (engine/transforms applies one mean/std everywhere).
     """
 
-    def __init__(self, language_model: str):
-        from uml_tpu.models.languagemodel import TextModel
+    def __init__(self, vision_model: str = "", language_model: str = "",
+                 allow_random_init: bool = False):
+        import jax
+        import jax.numpy as jnp
 
-        self.text_model = TextModel(language_model)
+        self.text_model = None
+        self.vision = None
+        if language_model:
+            from uml_tpu.models.languagemodel import TextModel
+
+            try:
+                self.text_model = TextModel(language_model)
+            except Exception as e:
+                if not allow_random_init:
+                    raise
+                print(f"=> [random-init] text encoder for {language_model} "
+                      f"({type(e).__name__}); features are hash-random")
+                self.text_model = _RandomTextEncoder()
+        if vision_model:
+            from uml_tpu.models.dino import load_dino
+            from uml_tpu.ops import normalize_images
+
+            model, variables = load_dino(
+                vision_model, allow_random_init=allow_random_init)
+            self._variables = variables
+
+            @jax.jit
+            def _enc(v, u8):
+                return model.apply(v, normalize_images(u8, jnp.bfloat16))
+
+            @jax.jit
+            def _enc_tokens(v, u8):
+                return model.apply(v, normalize_images(u8, jnp.bfloat16),
+                                   return_tokens=True)
+
+            self._enc, self._enc_tokens = _enc, _enc_tokens
+            self.vision = model
 
     def encode_texts(self, texts, return_tokens=False):
+        assert self.text_model is not None, "no language model configured"
         return self.text_model.encode(texts, return_tokens=return_tokens)
 
-    def encode_images(self, *a, **k):
-        raise NotImplementedError(
-            "DINOv2/timm vision encoders are not yet ported to the TPU build; "
-            "use --clip-encoder for image features."
-        )
+    def encode_images(self, imgs_uint8, batch_pad=None, return_tokens=False):
+        assert self.vision is not None, "no vision model configured"
+        import jax.numpy as jnp
+
+        n = imgs_uint8.shape[0]
+        if batch_pad is not None and n < batch_pad:
+            imgs_uint8 = np.concatenate(
+                [imgs_uint8,
+                 np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
+        fn = self._enc_tokens if return_tokens else self._enc
+        out = np.asarray(fn(self._variables, jnp.asarray(imgs_uint8)),
+                         dtype=np.float32)
+        return out[:n]
 
 
 def main(args):
@@ -244,7 +305,8 @@ def main(args):
     else:
         print(f"=> Using {args.vision_model} for vision and "
               f"{args.language_model} for language")
-        encoder = _HFEncoderAdapter(args.language_model)
+        encoder = _HFEncoderAdapter(args.vision_model, args.language_model,
+                                    allow_random_init=args.allow_random_init)
 
     if args.dataset not in IMAGENET_TESTSETS:
         prepare_image_features(encoder, args, datasets, mode="train")

@@ -114,39 +114,45 @@ def setup(datasets, hparams, args):
                          logdir=ckpt_dir)
 
     bs = hparams["batch_size"]
-    freeze_backbone = args.hyperparams == "linear" or args.use_clip
     # NOTE: the reference freezes only when hyperparams == 'linear'
-    # (finetune.py:338); for CLIP we also freeze under 'clip_linear' since
-    # training a full fp32 CLIP tower at lr 1e-3 is the reference's latent
-    # quirk, not a capability anyone uses. Override with
-    # --hyperparams full_ds_full_model_finetune for true full finetuning.
-    if args.hyperparams == "full_ds_full_model_finetune":
-        freeze_backbone = False
+    # (finetune.py:338), which leaves 'clip_linear' probes training the
+    # whole fp32 CLIP tower at lr 1e-3 — a latent quirk, not a capability
+    # anyone uses. Here every grid except the explicit full-finetune one
+    # freezes the backbone; full finetuning is the raw-image milestone.
+    freeze_backbone = args.hyperparams != "full_ds_full_model_finetune"
 
     text_ds = datasets["text_ds"]
 
-    if args.use_clip:
-        if freeze_backbone:
-            # feature-space path: precompute once, head-only training
-            model = UMLHead(
-                feat_dim=args.text_indim, num_classes=args.nclasses,
-                text_indim=0, logit_scale=args.logit,
-                learnable_temp=hparams["learnable_temp"])
-            encoder = datasets["encoder"]
-            img_tr, lab_tr = _extract_split_features(
-                encoder, datasets["img_tr_ds"], args.image_augmentation, 128,
-                args.seed)
-            img_val, lab_val = _extract_split_features(
-                encoder, datasets["img_val_ds"], "crop", 128, args.seed)
-            img_te, lab_te = _extract_split_features(
-                encoder, datasets["img_te_ds"], "crop", 128, args.seed)
-        else:
-            raise NotImplementedError(
-                "full CLIP-tower finetuning lands with the raw-image stream "
-                "milestone; use linear/clip_linear")
-    else:
+    if not freeze_backbone:
         raise NotImplementedError(
-            "DINOv2/HF-LM backbones land with the DINOv2 port milestone")
+            "full backbone finetuning lands with the raw-image stream "
+            "milestone; use linear/clip_linear")
+
+    # feature-space path: precompute once, head-only training
+    if args.use_clip:
+        # UMLClip semantics (head.py:101-141): shared head in CLIP embed
+        # space, fixed exp(logit) scale, no img_proj
+        model = UMLHead(
+            feat_dim=args.text_indim, num_classes=args.nclasses,
+            text_indim=0, logit_scale=args.logit,
+            learnable_temp=hparams["learnable_temp"])
+    else:
+        # UML semantics (head.py:39-98): img_proj from the vision dim into
+        # the text dim (crossmodal) or common_dim (unimodal)
+        proj_dim = (args.text_indim if args.modality == "crossmodal"
+                    else args.common_dim)
+        model = UMLHead(
+            feat_dim=args.img_indim, num_classes=args.nclasses,
+            text_indim=proj_dim,
+            learnable_temp=hparams["learnable_temp"])
+    encoder = datasets["encoder"]
+    img_tr, lab_tr = _extract_split_features(
+        encoder, datasets["img_tr_ds"], args.image_augmentation, 128,
+        args.seed)
+    img_val, lab_val = _extract_split_features(
+        encoder, datasets["img_val_ds"], "crop", 128, args.seed)
+    img_te, lab_te = _extract_split_features(
+        encoder, datasets["img_te_ds"], "crop", 128, args.seed)
 
     params = model.init_params(seed=args.seed)
     if args.classifier_init == "zeroshot" and (
@@ -280,7 +286,14 @@ def main(args):
         encoder = ClipEncoder(args.clip_encoder,
                               allow_random_init=args.allow_random_init)
     else:
-        raise NotImplementedError("non-CLIP encoders: DINOv2 milestone")
+        from uml_tpu.cli.features import _HFEncoderAdapter
+        from uml_tpu.models.dino import DINO_CONFIGS
+
+        encoder = _HFEncoderAdapter(args.vision_model, "",
+                                    allow_random_init=args.allow_random_init)
+        args.img_indim = DINO_CONFIGS[args.vision_model][0].num_features
+        # text dim comes from the cached LM features themselves
+        args.text_indim = int(tf["features"].shape[-1])
 
     ds = {
         "img_tr_ds": datasets["train"],

@@ -1,0 +1,242 @@
+"""DINOv2 / DINO ViT image encoders in flax.
+
+Covers the reference's timm vision-model choices (engine/config/__init__.py:
+82-92): vit_{small,base,large}_patch14_dinov2.lvd142m (DINOv2: LayerScale,
+LN eps 1e-6, patch 14, trained at 518 with position embeddings interpolated
+to the 224 grid — the reference passes img_size=224, finetune.py:52) and
+vit_base_patch{8,16}_224_dino (DINO v1: no LayerScale).
+
+Output contract matches timm ``create_model(..., num_classes=0)``: pooled
+features = CLS token after the final LayerNorm, dim = ``num_features``.
+
+Weights port from HuggingFace ``facebook/dinov2-*`` torch checkpoints
+(:func:`port_dinov2_state_dict`); the separate q/k/v projections are fused
+into one packed QKV matmul at port time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uml_tpu.ops.attention import multi_head_attention
+
+
+@dataclass(frozen=True)
+class DinoConfig:
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    patch_size: int
+    image_size: int = 224
+    mlp_ratio: int = 4
+    layerscale: bool = True          # DINOv2 yes, DINO v1 no
+    ln_eps: float = 1e-6
+    pretrain_image_size: int = 518   # grid the checkpoint's pos-emb was trained at
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_features(self) -> int:
+        return self.hidden_size
+
+
+# reference vision-model names -> config + HF checkpoint repo
+DINO_CONFIGS = {
+    "vit_small_patch14_dinov2.lvd142m": (
+        DinoConfig(384, 12, 6, 14), "facebook/dinov2-small"),
+    "vit_base_patch14_dinov2.lvd142m": (
+        DinoConfig(768, 12, 12, 14), "facebook/dinov2-base"),
+    "vit_large_patch14_dinov2.lvd142m": (
+        DinoConfig(1024, 24, 16, 14), "facebook/dinov2-large"),
+    "vit_base_patch16_224_dino": (
+        DinoConfig(768, 12, 12, 16, layerscale=False, ln_eps=1e-6,
+                   pretrain_image_size=224), "facebook/dino-vitb16"),
+    "vit_base_patch8_224_dino": (
+        DinoConfig(768, 12, 12, 8, layerscale=False, ln_eps=1e-6,
+                   pretrain_image_size=224), "facebook/dino-vitb8"),
+}
+
+
+class DinoBlock(nn.Module):
+    config: DinoConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        b, s, _ = x.shape
+        h = cfg.num_heads
+        d = cfg.hidden_size // h
+
+        y = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * cfg.hidden_size, dtype=self.dtype, name="qkv")(y)
+        qkv = qkv.reshape(b, s, 3, h, d).transpose(2, 0, 3, 1, 4)
+        attn = multi_head_attention(qkv[0], qkv[1], qkv[2])
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        attn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="attn_out")(attn)
+        if cfg.layerscale:
+            ls1 = self.param("layerscale1", nn.initializers.ones,
+                             (cfg.hidden_size,))
+            attn = attn * ls1.astype(attn.dtype)
+        x = x + attn
+
+        y = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(cfg.mlp_ratio * cfg.hidden_size, dtype=self.dtype,
+                     name="fc1")(y)
+        y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(nn.gelu(y, approximate=False))
+        if cfg.layerscale:
+            ls2 = self.param("layerscale2", nn.initializers.ones,
+                             (cfg.hidden_size,))
+            y = y * ls2.astype(y.dtype)
+        return x + y
+
+
+class DinoViT(nn.Module):
+    config: DinoConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels, return_tokens: bool = False, pool: str = "token"):
+        cfg = self.config
+        x = nn.Conv(cfg.hidden_size,
+                    kernel_size=(cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    dtype=self.dtype, name="patch_embed")(pixels.astype(self.dtype))
+        b = x.shape[0]
+        x = x.reshape(b, cfg.grid_size**2, cfg.hidden_size)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros,
+                               (1, 1, cfg.hidden_size))
+        pos = self.param("position_embeddings",
+                         nn.initializers.normal(0.02),
+                         (1, cfg.grid_size**2 + 1, cfg.hidden_size))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(x.dtype), (b, 1, cfg.hidden_size)), x],
+            axis=1)
+        x = x + pos.astype(x.dtype)
+
+        for i in range(cfg.num_layers):
+            x = DinoBlock(cfg, self.dtype, name=f"blocks_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
+                         name="norm")(x.astype(jnp.float32))
+        if return_tokens:
+            return x
+        if pool == "token":
+            return x[:, 0]
+        if pool == "mean":
+            return x[:, 1:].mean(axis=1)
+        raise ValueError(f"unknown pool {pool!r}")
+
+
+def interpolate_pos_embeddings(pos: np.ndarray, src_grid: int, dst_grid: int):
+    """Bicubic-resample patch position embeddings [1, 1+src^2, D] to
+    [1, 1+dst^2, D] (what timm/HF do when img_size differs from pretrain)."""
+    if src_grid == dst_grid:
+        return pos
+    from PIL import Image
+
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    d = patch_pos.shape[-1]
+    grid = patch_pos.reshape(src_grid, src_grid, d)
+    out = np.zeros((dst_grid, dst_grid, d), np.float32)
+    # PIL resizes 2D planes; loop channels in chunks for memory sanity
+    for c in range(d):
+        img = Image.fromarray(grid[:, :, c].astype(np.float32), mode="F")
+        out[:, :, c] = np.asarray(
+            img.resize((dst_grid, dst_grid), Image.BICUBIC))
+    return np.concatenate([cls_pos, out.reshape(1, dst_grid**2, d)], axis=1)
+
+
+def port_dinov2_state_dict(sd, config: DinoConfig) -> dict:
+    """HF Dinov2Model/ViTModel state_dict -> flax params for DinoViT."""
+
+    def _np(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().float().numpy()
+        return np.asarray(t, np.float32)
+
+    def linear(prefix):
+        return {"kernel": _np(sd[f"{prefix}.weight"]).T,
+                "bias": _np(sd[f"{prefix}.bias"])}
+
+    def ln(prefix):
+        return {"scale": _np(sd[f"{prefix}.weight"]),
+                "bias": _np(sd[f"{prefix}.bias"])}
+
+    # HF dinov2: encoder.layer.N...; HF ViT (dino v1): same schema via ViTModel
+    def block(i):
+        p = f"encoder.layer.{i}"
+        q = _np(sd[f"{p}.attention.attention.query.weight"]).T
+        k = _np(sd[f"{p}.attention.attention.key.weight"]).T
+        v = _np(sd[f"{p}.attention.attention.value.weight"]).T
+        qb = _np(sd[f"{p}.attention.attention.query.bias"])
+        kb = _np(sd[f"{p}.attention.attention.key.bias"])
+        vb = _np(sd[f"{p}.attention.attention.value.bias"])
+        out = {
+            "norm1": ln(f"{p}.norm1") if f"{p}.norm1.weight" in sd
+            else ln(f"{p}.layernorm_before"),
+            "norm2": ln(f"{p}.norm2") if f"{p}.norm2.weight" in sd
+            else ln(f"{p}.layernorm_after"),
+            "qkv": {"kernel": np.concatenate([q, k, v], axis=1),
+                    "bias": np.concatenate([qb, kb, vb])},
+            "attn_out": linear(f"{p}.attention.output.dense"),
+            "fc1": linear(f"{p}.mlp.fc1") if f"{p}.mlp.fc1.weight" in sd
+            else linear(f"{p}.intermediate.dense"),
+            "fc2": linear(f"{p}.mlp.fc2") if f"{p}.mlp.fc2.weight" in sd
+            else linear(f"{p}.output.dense"),
+        }
+        if config.layerscale:
+            out["layerscale1"] = _np(sd[f"{p}.layer_scale1.lambda1"])
+            out["layerscale2"] = _np(sd[f"{p}.layer_scale2.lambda1"])
+        return out
+
+    pos = _np(sd["embeddings.position_embeddings"])
+    src_grid = round((pos.shape[1] - 1) ** 0.5)
+    pos = interpolate_pos_embeddings(pos, src_grid, config.grid_size)
+
+    params = {
+        "patch_embed": {
+            "kernel": _np(
+                sd["embeddings.patch_embeddings.projection.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": _np(sd["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": _np(sd["embeddings.cls_token"]),
+        "position_embeddings": pos,
+        "norm": ln("layernorm"),
+        **{f"blocks_{i}": block(i) for i in range(config.num_layers)},
+    }
+    return {"params": params}
+
+
+def load_dino(name: str, dtype=jnp.bfloat16, allow_random_init=False):
+    """-> (DinoViT, variables). Loads HF weights from the local cache."""
+    cfg, repo = DINO_CONFIGS[name]
+    model = DinoViT(cfg, dtype=dtype)
+    try:
+        import torch
+        from transformers import AutoModel
+
+        hf = AutoModel.from_pretrained(repo)
+        variables = port_dinov2_state_dict(hf.state_dict(), cfg)
+        print(f"=> Loaded {name} weights from {repo}")
+        return model, variables
+    except Exception as e:
+        if not allow_random_init:
+            raise FileNotFoundError(
+                f"Could not load pretrained weights for {name} ({repo}): {e}. "
+                "Populate the local HF cache or pass allow_random_init."
+            ) from e
+        print(f"=> [random-init] {name} ({e})")
+        variables = jax.jit(model.init)(
+            jax.random.key(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32))
+        return model, variables
