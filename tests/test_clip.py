@@ -59,16 +59,22 @@ def test_tokenizer_roundtrip():
 
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
 def test_tokenizer_parity_with_reference():
-    if "ftfy" not in sys.modules:
+    inject_stub = "ftfy" not in sys.modules
+    if inject_stub:
         ftfy = types.ModuleType("ftfy")
         ftfy.fix_text = lambda t: t
         sys.modules["ftfy"] = ftfy
-    spec = importlib.util.spec_from_file_location(
-        "ref_tok", f"{REFERENCE}/engine/clip/simple_tokenizer.py"
-    )
-    ref_mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(ref_mod)
-    ref = ref_mod.SimpleTokenizer()
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_tok", f"{REFERENCE}/engine/clip/simple_tokenizer.py"
+        )
+        ref_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_mod)
+        ref = ref_mod.SimpleTokenizer()
+    finally:
+        if inject_stub:
+            # a spec-less stub poisons transformers' importlib probing later
+            sys.modules.pop("ftfy", None)
     ours = ClipTokenizer()
     assert len(ref.encoder) == len(ours.encoder) == 49408
     for t in TEXTS:
