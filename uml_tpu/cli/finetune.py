@@ -188,6 +188,12 @@ def setup(datasets, hparams, args):
         "text_feats": text_ds.features[:1000].astype(np.float32),
     }
 
+    checkpointer = None
+    if getattr(args, "ckpt_every", 0):
+        from uml_tpu.core.checkpoint import TrainCheckpointer
+
+        checkpointer = TrainCheckpointer(os.path.join(ckpt_dir, "orbax"))
+
     result = train(
         model,
         image_stream,
@@ -202,7 +208,11 @@ def setup(datasets, hparams, args):
         capture=capture,
         logger=logger,
         init_params=params,
+        checkpointer=checkpointer,
+        ckpt_every=getattr(args, "ckpt_every", 0) or None,
     )
+    if checkpointer is not None:
+        checkpointer.close()
     validate = make_validate(model, bs)
     test_loss, test_acc = validate(result["final_params"], test_batches)
     if hasattr(logger, "finish"):

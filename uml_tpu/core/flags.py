@@ -106,4 +106,8 @@ def build_shared_parser() -> argparse.ArgumentParser:
                    dest="allow_random_init",
                    help="run encoders from random init when no pretrained "
                         "weights are available (testing only)")
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="orbax mid-run checkpoint interval in iterations "
+                        "(0 = off); restarted runs resume from the latest "
+                        "checkpoint (net-new vs the reference)")
     return p

@@ -129,6 +129,8 @@ def train(
     logger=None,
     validate_fn=None,
     init_params: dict | None = None,
+    checkpointer=None,             # core.checkpoint.TrainCheckpointer
+    ckpt_every: int | None = None,
 ):
     assert image_stream is not None or text_stream is not None
     params = init_params if init_params is not None else model.init_params()
@@ -237,7 +239,48 @@ def train(
            "model_records": []}
     no_improve = 0
     stopped_at = max_iters
-    for i in range(max_iters):
+
+    # mid-run resume (net-new vs the reference's save-only artifacts)
+    start_iter = 0
+    ckpt_on = checkpointer is not None and getattr(checkpointer, "enabled", False)
+    if ckpt_on:
+        like = {
+            "params": params, "opt_state": opt_state, "iter": 0,
+            "best_params": params, "best_val_acc": -1.0,
+            "best_val_loss": 0.0, "best_iter": -1, "no_improve": 0,
+        }
+        step_restored, state = checkpointer.restore_latest(like)
+        if step_restored is not None:
+            print(f"=> Resuming from checkpoint at iter {state['iter']}")
+            params = jax.tree.map(jnp.asarray, state["params"])
+            opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+            start_iter = int(state["iter"])
+            no_improve = int(state["no_improve"])
+            if state["best_iter"] >= 0:
+                out.update(iter=int(state["best_iter"]),
+                           val_acc=float(state["best_val_acc"]),
+                           val_loss=float(state["best_val_loss"]),
+                           model=jax.tree.map(np.asarray, state["best_params"]))
+            # fast-forward the data streams to keep batch order aligned
+            for _ in range(start_iter):
+                if has_image:
+                    next(image_iter)
+                if has_text:
+                    next(text_iter)
+
+    def save_ckpt(i):
+        if not (ckpt_on and ckpt_every and (i + 1) % ckpt_every == 0):
+            return
+        checkpointer.save(i + 1, {
+            "params": params, "opt_state": opt_state, "iter": i + 1,
+            "best_params": out["model"] if out["model"] is not None else params,
+            "best_val_acc": out["val_acc"] if out["val_acc"] is not None else -1.0,
+            "best_val_loss": out["val_loss"] if out["val_loss"] is not None else 0.0,
+            "best_iter": out["iter"] if out["iter"] is not None else -1,
+            "no_improve": no_improve,
+        })
+
+    for i in range(start_iter, max_iters):
         img_b = tuple(map(jnp.asarray, next(image_iter))) if has_image else zero_img
         txt_b = tuple(map(jnp.asarray, next(text_iter))) if has_text else zero_txt
         params, opt_state, loss, metrics = step(
@@ -245,6 +288,7 @@ def train(
 
         if logger is not None:
             logger.log({k: float(v) for k, v in metrics.items()})
+        save_ckpt(i)
 
         if i % eval_freq == 0:
             snapshot = jax.tree.map(np.asarray, params)
