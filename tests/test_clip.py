@@ -202,7 +202,7 @@ def test_build_clip_names():
 
     m = build_clip("ViT-B/16")
     assert m.config.vision_patch_size == 16 and m.config.embed_dim == 512
-    with pytest.raises(NotImplementedError):
-        build_clip("RN50")
+    rn = build_clip("RN50")  # ModifiedResNet variant (tested in test_clip_resnet)
+    assert rn.embed_dim == 1024
     with pytest.raises(ValueError):
         build_clip("ViT-H/99")

@@ -289,8 +289,9 @@ def main(args):
     args.nclasses = len(datasets["lab2cname"])
 
     if args.use_clip:
-        args.img_indim = args.text_indim = CLIP_CONFIGS[args.clip_encoder].embed_dim \
-            if args.clip_encoder in CLIP_CONFIGS else 512
+        from uml_tpu.models.clip import clip_embed_dim
+
+        args.img_indim = args.text_indim = clip_embed_dim(args.clip_encoder)
         from uml_tpu.models.encoders import ClipEncoder
 
         encoder = ClipEncoder(args.clip_encoder,

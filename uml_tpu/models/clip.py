@@ -262,12 +262,70 @@ class CLIP(nn.Module):
         return logits_per_image, logits_per_image.T
 
 
-def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto") -> CLIP:
-    if name in ("RN50", "RN101"):
-        raise NotImplementedError(
-            "ModifiedResNet towers (RN50/RN101) are not yet implemented in the "
-            "TPU build; use ViT-B/16 or ViT-B/32."
+class ClipResNetModel(nn.Module):
+    """CLIP with a ModifiedResNet image tower (RN50/RN101) and the same
+    text tower / API as the ViT variant."""
+
+    resnet_config: "object"           # clip_resnet.ClipResNetConfig
+    text_config: ClipConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        from uml_tpu.models.clip_resnet import ModifiedResNet
+
+        self.visual = ModifiedResNet(self.resnet_config, self.dtype)
+        self.text = TextTransformer(self.text_config, self.dtype, self.attn_impl)
+        self.logit_scale = self.param(
+            "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.07), jnp.float32)
         )
+
+    @property
+    def config(self):
+        return self.text_config
+
+    @property
+    def embed_dim(self) -> int:
+        return self.text_config.embed_dim
+
+    def encode_image(self, pixels, return_tokens: bool = False):
+        return self.visual(pixels, return_tokens=return_tokens)
+
+    def encode_text(self, tokens, return_eot: bool = False, return_tokens: bool = False):
+        return self.text(tokens, return_eot=return_eot, return_tokens=return_tokens)
+
+    def __call__(self, pixels, tokens):
+        img = self.encode_image(pixels)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
+
+
+def clip_embed_dim(name: str) -> int:
+    """Output feature dim per encoder name (parity with clip_outdim,
+    finetune.py:41-44 — without loading any weights)."""
+    if name in CLIP_CONFIGS:
+        return CLIP_CONFIGS[name].embed_dim
+    if name in ("RN50", "RN101"):
+        from uml_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
+
+        return CLIP_RESNET_CONFIGS[name].output_dim
+    raise ValueError(f"Unknown CLIP encoder {name!r}")
+
+
+def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto"):
+    if name in ("RN50", "RN101"):
+        from uml_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
+
+        rn = CLIP_RESNET_CONFIGS[name]
+        text_cfg = ClipConfig(
+            embed_dim=rn.output_dim, image_resolution=rn.image_resolution,
+            vision_layers=0, vision_width=rn.width, vision_patch_size=0,
+            transformer_width=512, transformer_heads=8, transformer_layers=12)
+        return ClipResNetModel(rn, text_cfg, dtype=dtype, attn_impl=attn_impl)
     if name not in CLIP_CONFIGS:
         raise ValueError(f"Unknown CLIP encoder {name!r}; have {list(CLIP_CONFIGS)}")
     return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl)

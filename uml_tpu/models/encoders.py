@@ -37,8 +37,7 @@ def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False):
         from uml_tpu.models.port_torch import load_clip_checkpoint
 
         print(f"=> Loading CLIP weights from {path}")
-        cfg, variables = load_clip_checkpoint(path)
-        return CLIP(cfg, dtype=dtype), variables
+        return load_clip_checkpoint(path, dtype=dtype)
     if not allow_random_init:
         raise FileNotFoundError(
             f"No CLIP weights for {name!r}. Set UML_CLIP_WEIGHTS_DIR to a "

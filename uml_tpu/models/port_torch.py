@@ -61,9 +61,45 @@ def _transformer(sd, prefix, layers):
     }
 
 
+def is_vit_checkpoint(sd) -> bool:
+    return "visual.proj" in sd
+
+
+def _text_config_from_state_dict(sd) -> dict:
+    return dict(
+        embed_dim=sd["text_projection"].shape[1],
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len({
+            k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")
+        }),
+    )
+
+
+def resnet_config_from_state_dict(sd):
+    """Infer a ClipResNetConfig from an RN checkpoint (model.py:414-421)."""
+    from uml_tpu.models.clip_resnet import ClipResNetConfig
+
+    counts = tuple(
+        len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+        for b in (1, 2, 3, 4)
+    )
+    width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    out_width = round(
+        (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+    return ClipResNetConfig(
+        layers=counts,
+        output_dim=sd["text_projection"].shape[1],
+        width=width,
+        image_resolution=out_width * 32,
+    )
+
+
 def config_from_state_dict(sd) -> ClipConfig:
-    """Infer the architecture from checkpoint shapes (model.py:405-428)."""
-    assert "visual.proj" in sd, "ResNet CLIP checkpoints not supported yet"
+    """Infer the ViT architecture from checkpoint shapes (model.py:405-428)."""
+    assert is_vit_checkpoint(sd), "use resnet_config_from_state_dict for RN"
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len([
         k for k in sd
@@ -87,6 +123,37 @@ def config_from_state_dict(sd) -> ClipConfig:
     )
 
 
+def _port_text(sd, layers: int) -> dict:
+    return {
+        "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "transformer": _transformer(sd, "transformer", layers),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _np(sd["text_projection"]),
+    }
+
+
+def port_clip_resnet_checkpoint(sd):
+    """RN50/RN101 state_dict -> (resnet_cfg, text ClipConfig, variables)."""
+    from uml_tpu.models.clip_resnet import port_clip_resnet_state_dict
+
+    rn_cfg = resnet_config_from_state_dict(sd)
+    tc = _text_config_from_state_dict(sd)
+    text_cfg = ClipConfig(
+        embed_dim=tc["embed_dim"], image_resolution=rn_cfg.image_resolution,
+        vision_layers=0, vision_width=rn_cfg.width, vision_patch_size=0,
+        context_length=tc["context_length"], vocab_size=tc["vocab_size"],
+        transformer_width=tc["transformer_width"],
+        transformer_heads=tc["transformer_heads"],
+        transformer_layers=tc["transformer_layers"])
+    params = {
+        "visual": port_clip_resnet_state_dict(sd, rn_cfg)["params"],
+        "text": _port_text(sd, text_cfg.transformer_layers),
+        "logit_scale": _np(sd["logit_scale"]),
+    }
+    return rn_cfg, text_cfg, {"params": params}
+
+
 def port_clip_state_dict(sd) -> dict:
     """torch state_dict -> flax variables for uml_tpu.models.clip.CLIP."""
     cfg = config_from_state_dict(sd)
@@ -102,28 +169,32 @@ def port_clip_state_dict(sd) -> dict:
         "ln_post": _ln(sd, "visual.ln_post"),
         "proj": _np(sd["visual.proj"]),
     }
-    text = {
-        "token_embedding": {"embedding": _np(sd["token_embedding.weight"])},
-        "positional_embedding": _np(sd["positional_embedding"]),
-        "transformer": _transformer(sd, "transformer", cfg.transformer_layers),
-        "ln_final": _ln(sd, "ln_final"),
-        "text_projection": _np(sd["text_projection"]),
-    }
     params = {
         "visual": visual,
-        "text": text,
+        "text": _port_text(sd, cfg.transformer_layers),
         "logit_scale": _np(sd["logit_scale"]),
     }
     return {"params": params}
 
 
-def load_clip_checkpoint(path: str):
-    """Read a torch .pt/.pth CLIP checkpoint -> (config, flax variables)."""
+def load_clip_checkpoint(path: str, dtype=None):
+    """Read a torch .pt/.pth CLIP checkpoint -> (model, flax variables).
+
+    Dispatches ViT vs ModifiedResNet checkpoints by key schema.
+    """
+    import jax.numpy as jnp
     import torch
 
+    from uml_tpu.models.clip import CLIP, ClipResNetModel
+
+    dtype = dtype if dtype is not None else jnp.float32
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):  # jit archive or module
         obj = obj.state_dict()
     sd = {k: v for k, v in obj.items()
           if k not in ("input_resolution", "context_length", "vocab_size")}
-    return config_from_state_dict(sd), port_clip_state_dict(sd)
+    if is_vit_checkpoint(sd):
+        cfg = config_from_state_dict(sd)
+        return CLIP(cfg, dtype=dtype), port_clip_state_dict(sd)
+    rn_cfg, text_cfg, variables = port_clip_resnet_checkpoint(sd)
+    return ClipResNetModel(rn_cfg, text_cfg, dtype=dtype), variables
