@@ -119,17 +119,42 @@ def setup(datasets, hparams, args):
     # whole fp32 CLIP tower at lr 1e-3 — a latent quirk, not a capability
     # anyone uses. Here every grid except the explicit full-finetune one
     # freezes the backbone; full finetuning is the raw-image milestone.
-    freeze_backbone = args.hyperparams != "full_ds_full_model_finetune"
+    freeze_backbone = args.hyperparams not in (
+        "full_ds_full_model_finetune", "smoke_full")
 
     text_ds = datasets["text_ds"]
 
     if not freeze_backbone:
-        raise NotImplementedError(
-            "full backbone finetuning lands with the raw-image stream "
-            "milestone; use linear/clip_linear")
+        # full backbone finetuning: raw uint8 image streams through the
+        # trainable CLIP tower (finetune.py:338 UMLClip freeze_backbone=False)
+        if not args.use_clip:
+            raise NotImplementedError(
+                "full DINOv2 finetuning is not wired yet; use --clip-encoder")
+        from uml_tpu.data.loader import ImageBatchLoader, RawImageStream
+        from uml_tpu.models.uml_head import make_uml_clip_head
 
+        encoder = datasets["encoder"]
+        model = make_uml_clip_head(
+            encoder.model, encoder.variables, args.nclasses,
+            logit_scale=args.logit, learnable_temp=hparams["learnable_temp"],
+            freeze_backbone=False)
+
+        def _decode_split(items):
+            imgs, labels = [], []
+            for im, lab, _ in ImageBatchLoader(items, "crop", 64,
+                                               seed=args.seed):
+                imgs.append(im)
+                labels.append(lab)
+            return np.concatenate(imgs), np.concatenate(labels)
+
+        img_tr = None  # raw stream below; eval splits decoded once to uint8
+        image_stream = RawImageStream(datasets["img_tr_ds"],
+                                      args.image_augmentation, bs,
+                                      seed=args.seed)
+        img_val, lab_val = _decode_split(datasets["img_val_ds"])
+        img_te, lab_te = _decode_split(datasets["img_te_ds"])
     # feature-space path: precompute once, head-only training
-    if args.use_clip:
+    elif args.use_clip:
         # UMLClip semantics (head.py:101-141): shared head in CLIP embed
         # space, fixed exp(logit) scale, no img_proj
         model = UMLHead(
@@ -145,14 +170,25 @@ def setup(datasets, hparams, args):
             feat_dim=args.img_indim, num_classes=args.nclasses,
             text_indim=proj_dim,
             learnable_temp=hparams["learnable_temp"])
-    encoder = datasets["encoder"]
-    img_tr, lab_tr = _extract_split_features(
-        encoder, datasets["img_tr_ds"], args.image_augmentation, 128,
-        args.seed)
-    img_val, lab_val = _extract_split_features(
-        encoder, datasets["img_val_ds"], "crop", 128, args.seed)
-    img_te, lab_te = _extract_split_features(
-        encoder, datasets["img_te_ds"], "crop", 128, args.seed)
+    if freeze_backbone:
+        encoder = datasets["encoder"]
+        img_tr, lab_tr = _extract_split_features(
+            encoder, datasets["img_tr_ds"], args.image_augmentation, 128,
+            args.seed)
+        img_val, lab_val = _extract_split_features(
+            encoder, datasets["img_val_ds"], "crop", 128, args.seed)
+        img_te, lab_te = _extract_split_features(
+            encoder, datasets["img_te_ds"], "crop", 128, args.seed)
+        image_stream = CyclicBatcher(img_tr, lab_tr, bs, seed=args.seed)
+        capture = {
+            "image_feats": img_tr[:1000],
+            "image_labels": lab_tr[:1000],
+            "text_feats": text_ds.features[:1000].astype(np.float32),
+        }
+    else:
+        # raw path: capture diagnostics are skipped (recomputing the full
+        # tower per iter is the reference's hardcoded-but-wasteful default)
+        capture = None
 
     params = model.init_params(seed=args.seed)
     if args.classifier_init == "zeroshot" and (
@@ -168,7 +204,6 @@ def setup(datasets, hparams, args):
     optimizer = build_optimizer(hparams["optim"], schedule,
                                 hparams["weight_decay"])
 
-    image_stream = CyclicBatcher(img_tr, lab_tr, bs, seed=args.seed)
     text_stream = CyclicBatcher(text_ds.features.astype(np.float32),
                                 text_ds.labels.astype(np.int64), bs,
                                 seed=args.seed + 1)
@@ -181,12 +216,6 @@ def setup(datasets, hparams, args):
 
     val_batches = eval_batches(img_val, lab_val, bs)
     test_batches = eval_batches(img_te, lab_te, bs)
-
-    capture = {
-        "image_feats": img_tr[:1000],
-        "image_labels": lab_tr[:1000],
-        "text_feats": text_ds.features[:1000].astype(np.float32),
-    }
 
     checkpointer = None
     if getattr(args, "ckpt_every", 0):

@@ -79,3 +79,43 @@ class ImageBatchLoader:
                         self._decode_batch, batches[idx + self.prefetch],
                         idx + self.prefetch))
                 yield futures[idx].result()
+
+
+class RawImageStream:
+    """Infinite shuffled raw-image batches for full backbone finetuning.
+
+    Each epoch reshuffles the items and re-decodes with fresh augmentation
+    draws (DataLoader(shuffle=True) parity, finetune.py:370); partial final
+    batches are padded to batch_size with zero sample-weights so the jitted
+    step keeps one shape.  Yields (uint8 [B,H,W,3], labels int64, weights).
+    """
+
+    def __init__(self, items, augmentation, batch_size, seed=0,
+                 num_workers=8, size=(224, 224)):
+        self.items = list(items)
+        self.augmentation = augmentation
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+        self.size = size
+
+    def __iter__(self):
+        epoch = 0
+        while True:
+            order = self.rng.permutation(len(self.items))
+            shuffled = [self.items[i] for i in order]
+            loader = ImageBatchLoader(
+                shuffled, self.augmentation, self.batch_size,
+                num_workers=self.num_workers, seed=epoch, size=self.size,
+                fast_decode=self.augmentation == "crop")
+            for imgs, labels, _ in loader:
+                n = len(labels)
+                weights = np.ones(self.batch_size, np.float32)
+                if n < self.batch_size:
+                    pad = self.batch_size - n
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad, *imgs.shape[1:]), np.uint8)])
+                    labels = np.concatenate([labels, np.zeros(pad, np.int64)])
+                    weights[n:] = 0.0
+                yield imgs, labels, weights
+            epoch += 1

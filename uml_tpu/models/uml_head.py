@@ -134,9 +134,16 @@ class UMLHead:
 def make_uml_clip_head(clip_model, clip_variables, num_classes,
                        logit_scale=float(np.log(1 / 0.07)),
                        learnable_temp=False, freeze_backbone=True) -> UMLHead:
-    """UMLClip: CLIP image tower + shared head (head.py:101-141)."""
+    """UMLClip: CLIP image tower + shared head (head.py:101-141).
+
+    The backbone accepts uint8 HWC batches (host loader output) and
+    normalizes on device so the cast fuses into the patch embedding.
+    """
+    from uml_tpu.ops import normalize_images
 
     def backbone(variables, images):
+        if images.dtype == jnp.uint8:
+            images = normalize_images(images, clip_model.dtype)
         return clip_model.apply(
             variables, images, method=lambda m, x: m.encode_image(x))
 

@@ -75,6 +75,22 @@ HYPER_DICT = {
         "learnable_temp": [False],
         "patience": [5],
     },
+    # fast full-finetune grid for smoke tests (same structure as
+    # full_ds_full_model_finetune; tiny iteration budget)
+    "smoke_full": {
+        "optim": "adamw",
+        "lr": [5e-05],
+        "weight_decay": [0.0],
+        "lr_scheduler": "cosine",
+        "batch_size": [8],
+        "max_iter": [30],
+        "warmup_iter": 5,
+        "warmup_type": "linear",
+        "warmup_min_lr": 1e-5,
+        "dropout": [0.0],
+        "learnable_temp": [False],
+        "patience": [3],
+    },
     # fast grid for smoke tests / CI
     "smoke": {
         "optim": "adamw",
