@@ -160,7 +160,8 @@ def main(args):
             trainer, stream_1, stream_2, eval_streams,
             mode=args.modality, num_epochs=args.num_epochs,
             step_k=args.step_k, alpha_x=args.alpha_x, alpha_y=args.alpha_y,
-            ds_name=args.ds_name, eval_freq=args.eval_freq, logger=logger)
+            ds_name=args.ds_name, eval_freq=args.eval_freq,
+            augment=args.augment, logger=logger)
 
         print("seed: ", seed, " score: ", score)
         print("=====================================")

@@ -113,3 +113,31 @@ class TextFeatureSet:
 
     def __len__(self):
         return len(self.features)
+
+
+class TextFeatureSetWithPrompts(TextFeatureSet):
+    """TextFeatureSet that also tracks the raw prompt string per row.
+
+    Parity with TextTensorDatasetMultimodalNeurons
+    (engine/datasets/utils.py:14-46): prompts come from a
+    {label: [prompt, ...]} dict and are assigned per-row in label order;
+    more rows for a label than prompts is an error (same guard as the
+    reference's safety check).
+    """
+
+    def __init__(self, features, labels, eot_indices, prompts_dict):
+        super().__init__(features, labels, eot_indices, n_shots=None)
+        counters: dict[int, int] = {}
+        self.prompts = []
+        for lab in np.asarray(labels).tolist():
+            lab = int(lab)
+            prompt_list = prompts_dict[lab]
+            j = counters.get(lab, 0)
+            if j >= len(prompt_list):
+                raise IndexError(
+                    f"More samples ({j + 1}) for label {lab} than available "
+                    f"prompts ({len(prompt_list)}). Your label ordering may "
+                    "not match the prompt building order."
+                )
+            self.prompts.append(prompt_list[j % len(prompt_list)])
+            counters[lab] = j + 1

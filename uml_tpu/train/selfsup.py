@@ -236,6 +236,7 @@ def train_selfsup(
     eval_freq: int = 100,
     capture: bool = True,
     capture_samples: int = 1000,
+    augment: bool = False,
     logger=None,
 ):
     # peek shapes from one batch of each stream
@@ -295,10 +296,17 @@ def train_selfsup(
             ax = 0.0
         for i_batch, ((da, la, _), (db, lb, _)) in enumerate(
                 zip(stream_1(), stream_2())):
+            x_in = da["x"]
+            if augment:
+                # --augment applies per-sequence views (the reference
+                # accepts this flag but never uses it, train.py:296)
+                from uml_tpu.data.seq_augment import augment_single
+
+                x_in = augment_single(x_in, np.random)
             rng, key = jax.random.split(rng)
             variables, opt_state, metrics = trainer.train_step(
                 variables, opt_state,
-                jnp.asarray(da["x"]), jnp.asarray(db["y"]),
+                jnp.asarray(x_in), jnp.asarray(db["y"]),
                 jnp.asarray(la["x"]), jnp.asarray(lb["y"]),
                 jnp.float32(ax), jnp.float32(alpha_y), key, mode=mode)
             if logger is not None:
