@@ -126,18 +126,25 @@ def setup(datasets, hparams, args):
 
     if not freeze_backbone:
         # full backbone finetuning: raw uint8 image streams through the
-        # trainable CLIP tower (finetune.py:338 UMLClip freeze_backbone=False)
-        if not args.use_clip:
-            raise NotImplementedError(
-                "full DINOv2 finetuning is not wired yet; use --clip-encoder")
+        # trainable tower (finetune.py:337-346)
         from uml_tpu.data.loader import ImageBatchLoader, RawImageStream
-        from uml_tpu.models.uml_head import make_uml_clip_head
+        from uml_tpu.models.uml_head import make_uml_clip_head, make_uml_dino_head
 
         encoder = datasets["encoder"]
-        model = make_uml_clip_head(
-            encoder.model, encoder.variables, args.nclasses,
-            logit_scale=args.logit, learnable_temp=hparams["learnable_temp"],
-            freeze_backbone=False)
+        if args.use_clip:
+            model = make_uml_clip_head(
+                encoder.model, encoder.variables, args.nclasses,
+                logit_scale=args.logit,
+                learnable_temp=hparams["learnable_temp"],
+                freeze_backbone=False)
+        else:
+            proj_dim = (args.text_indim if args.modality == "crossmodal"
+                        else args.common_dim)
+            model = make_uml_dino_head(
+                encoder.vision, encoder._variables, args.nclasses,
+                text_indim=proj_dim,
+                learnable_temp=hparams["learnable_temp"],
+                freeze_backbone=False)
 
         def _decode_split(items):
             imgs, labels = [], []

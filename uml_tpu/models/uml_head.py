@@ -157,3 +157,28 @@ def make_uml_clip_head(clip_model, clip_variables, num_classes,
         backbone_params=clip_variables,
         freeze_backbone=freeze_backbone,
     )
+
+
+def make_uml_dino_head(dino_model, dino_variables, num_classes,
+                       text_indim=0, learnable_temp=False,
+                       freeze_backbone=True) -> UMLHead:
+    """UML with a DINOv2/DINO backbone (head.py:39-98 semantics):
+    optional img_proj into the text dim, shared head, learnable scales."""
+    import jax.numpy as jnp
+
+    from uml_tpu.ops import normalize_images
+
+    def backbone(variables, images):
+        if images.dtype == jnp.uint8:
+            images = normalize_images(images, dino_model.dtype)
+        return dino_model.apply(variables, images)
+
+    return UMLHead(
+        feat_dim=dino_model.config.num_features,
+        num_classes=num_classes,
+        text_indim=text_indim,
+        learnable_temp=learnable_temp,
+        backbone=backbone,
+        backbone_params=dino_variables,
+        freeze_backbone=freeze_backbone,
+    )
