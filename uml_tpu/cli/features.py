@@ -59,6 +59,7 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
     """{'features','labels','paths'} over a split (features.py:152-184)."""
     loader = ImageBatchLoader(items, augmentation, batch_size,
                               num_workers=num_workers, seed=seed)
+    decoder = "native-libjpeg" if loader._native is not None else "pil"
     feats, labels, paths = [], [], []
     for i, (imgs, labs, pths) in enumerate(loader):
         out = encoder.encode_images(imgs, batch_pad=batch_size,
@@ -74,6 +75,9 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
         "features": np.concatenate(feats, axis=0),
         "labels": np.concatenate(labels, axis=0),
         "paths": paths,
+        # provenance: native IDCT-scaled decode differs pixel-wise from PIL
+        # (~2/255 mean); record which path produced this cache
+        "decoder": decoder,
     }
 
 

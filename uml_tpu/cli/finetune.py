@@ -179,8 +179,12 @@ def setup(datasets, hparams, args):
             learnable_temp=hparams["learnable_temp"])
     if freeze_backbone:
         encoder = datasets["encoder"]
+        # text-only runs never consume the train image stream; only the
+        # capture diagnostics need a ~1000-image sample
+        train_items = (datasets["img_tr_ds"][:1000]
+                       if args.modality == "text" else datasets["img_tr_ds"])
         img_tr, lab_tr = _extract_split_features(
-            encoder, datasets["img_tr_ds"], args.image_augmentation, 128,
+            encoder, train_items, args.image_augmentation, 128,
             args.seed)
         img_val, lab_val = _extract_split_features(
             encoder, datasets["img_val_ds"], "crop", 128, args.seed)

@@ -99,9 +99,9 @@ def build_shared_parser() -> argparse.ArgumentParser:
     p.add_argument("--common_dim", type=int, default=0)
 
     # TPU-build extras (not in the reference parser)
-    p.add_argument("--return_tokens", type=bool, default=False,
+    p.add_argument("--return_tokens", action="store_true", default=False,
                    help="cache token-level features (reference injects this "
-                        "via YAML only)")
+                        "via YAML only; YAML booleans also land here)")
     p.add_argument("--allow-random-init", action="store_true",
                    dest="allow_random_init",
                    help="run encoders from random init when no pretrained "

@@ -90,9 +90,8 @@ def tabular_swap(data, p, rng=None):
     """Swap adjacent elements with probability p.
 
     NOTE: the reference's swap (tabular_robust.py:40-49) overwrites both
-    slots with the previous value (a duplicate, not a swap); we implement a
-    true swap and keep the reference behavior available via
-    ``duplicate=True``.
+    slots with the previous value (a duplicate, not a swap); this is a
+    true swap.
     """
     rng = rng or np.random
     data = np.array(data, dtype=np.float64)
@@ -137,6 +136,13 @@ def audio_random_dropout(signal, p, rng=None):
     return audio_structured_dropout(signal, p, step=1, rng=rng)
 
 
+def _randint(rng, n: int) -> int:
+    """Uniform [0, n) on legacy RandomState, Generator, or np.random."""
+    if hasattr(rng, "integers"):
+        return int(rng.integers(n))
+    return int(rng.randint(n))
+
+
 def add_audio_noise(tests, noise_level=0.3, noises=None, rng=None):
     rng = rng or np.random
     if noises is None:
@@ -146,9 +152,8 @@ def add_audio_noise(tests, noise_level=0.3, noises=None, rng=None):
     out = np.zeros(tests.shape)
     for i in range(len(tests)):
         if rng.random() <= noise_level:
-            mode = rng.randint(len(noises)) if hasattr(rng, "randint") \
-                else rng.integers(len(noises))
-            out[i] = noises[mode](tests[i], noise_level)
+            out[i] = noises[_randint(rng, len(noises))](
+                tests[i], noise_level, rng=rng)
     return out
 
 
@@ -185,7 +190,7 @@ def _last_char(word: str) -> int:
 def swap_letter(word, rng=None):
     rng = rng or np.random
     last = _last_char(word)
-    pos = rng.randint(last - 2) + 1
+    pos = _randint(rng, last - 2) + 1
     return word[:pos] + word[pos + 1] + word[pos] + word[pos + 2:]
 
 
@@ -205,7 +210,7 @@ def qwerty_typo(word, rng=None):
     for pos in order:
         if word[pos] in _QWERTY:
             options = _QWERTY[word[pos]]
-            key = options[rng.randint(len(options))]
+            key = options[_randint(rng, len(options))]
             return word[:pos] + key + word[pos + 1:]
     return word
 
@@ -225,7 +230,7 @@ def omission(word, num_omit=1, rng=None):
     rng = rng or np.random
     last = _last_char(word)
     for _ in range(num_omit):
-        omit = rng.randint(last - 1) + 1
+        omit = _randint(rng, last - 1) + 1
         word = word[:omit] + word[omit + 1:]
         last -= 1
     return word
@@ -251,7 +256,7 @@ def add_text_noise(tests, noise_level=0.3, swap=True, rand_mid=True,
         words = []
         for word in _normalize_text(text):
             if _last_char(word) > 3 and rng.random() <= noise_level:
-                words.append(noises[rng.randint(len(noises))](word))
+                words.append(noises[_randint(rng, len(noises))](word))
             else:
                 words.append(word)
         out.append(" ".join(words))

@@ -26,12 +26,13 @@ AUGMENTATIONS = ("crop", "flip", "randomcrop", "randomresizedcrop")
 
 
 def _resize_shorter(img: Image.Image, size: int) -> Image.Image:
-    """Resize the shorter side to ``size`` (torchvision Resize(int) semantics)."""
+    """Resize the shorter side to ``size`` (torchvision Resize(int)
+    semantics — the long side TRUNCATES, not rounds)."""
     w, h = img.size
     if w <= h:
-        new_w, new_h = size, max(size, int(round(size * h / w)))
+        new_w, new_h = size, max(size, int(size * h / w))
     else:
-        new_w, new_h = max(size, int(round(size * w / h))), size
+        new_w, new_h = max(size, int(size * w / h)), size
     return img.resize((new_w, new_h), Image.BICUBIC)
 
 

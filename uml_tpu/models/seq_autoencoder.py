@@ -190,11 +190,15 @@ class SeqUML(nn.Module):
         self.dec_y = nn.Dense(self.ydim, name="dec_y")
 
     def _branch(self, proj_fn, dec_fn, data, lengths, deterministic,
-                critic):
+                critic, mask_encoder: bool):
         if data.ndim == 2:
             data = data[:, None, :]
         proj = proj_fn(data)
-        z = self.encoder(proj, lengths=lengths, deterministic=deterministic)
+        # parity quirk: the reference key-padding-masks the encoder for x
+        # (models.py:201) but NOT for y (models.py:233 'self.encoder(y_proj)');
+        # y lengths only mask the loss
+        z = self.encoder(proj, lengths=lengths if mask_encoder else None,
+                         deterministic=deterministic)
         recon = dec_fn(z)
         mask = (length_mask(lengths, data.shape[1])
                 if lengths is not None else None)
@@ -214,13 +218,13 @@ class SeqUML(nn.Module):
             (out["loss_x"], out["x_proj"], out["zx"], out["x_recon"],
              out["diff_next_x"]) = self._branch(
                 self.xproj_in, self.dec_x, x, x_lengths, deterministic,
-                masked_mse)
+                masked_mse, mask_encoder=True)
         if y is not None:
             y_critic = sequence_info_nce if self.info_nce else masked_mse
             (out["loss_y"], out["y_proj"], out["zy"], out["y_recon"],
              out["diff_next_y"]) = self._branch(
                 self.yproj_in, self.dec_y, y, y_lengths, deterministic,
-                y_critic)
+                y_critic, mask_encoder=False)
         if x is not None and y is not None:
             x_private = out["x_proj"] - out["zx"]
             y_private = out["y_proj"] - out["zy"]

@@ -142,6 +142,8 @@ int uml_decode_jpeg_resize_crop(const uint8_t* jpeg, size_t n, int target,
   cinfo.out_color_space = JCS_RGB;
   cinfo.dct_method = JDCT_IFAST;
 
+  const int full_w = cinfo.image_width;
+  const int full_h = cinfo.image_height;
   jpeg_start_decompress(&cinfo);
   const int sw = cinfo.output_width;
   const int sh = cinfo.output_height;
@@ -153,16 +155,18 @@ int uml_decode_jpeg_resize_crop(const uint8_t* jpeg, size_t n, int target,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  // resize shorter side to `target`
+  // resize shorter side to `target`; long side truncates like torchvision
+  // Resize(int).  Target dims come from the FULL-resolution aspect ratio —
+  // the IDCT-scaled intermediate can differ by a pixel in ratio.
   int dw, dh;
-  if (sw <= sh) {
+  if (full_w <= full_h) {
     dw = target;
-    dh = std::max(target, static_cast<int>(std::lround(
-                              static_cast<double>(target) * sh / sw)));
+    dh = std::max(target,
+                  static_cast<int>(static_cast<double>(target) * full_h / full_w));
   } else {
     dh = target;
-    dw = std::max(target, static_cast<int>(std::lround(
-                              static_cast<double>(target) * sw / sh)));
+    dw = std::max(target,
+                  static_cast<int>(static_cast<double>(target) * full_w / full_h));
   }
   std::vector<uint8_t> resized(static_cast<size_t>(dw) * dh * 3);
   resize_bicubic(decoded.data(), sw, sh, resized.data(), dw, dh);

@@ -72,17 +72,26 @@ class CyclicBatcher:
 
 
 def eval_batches(inputs, labels, batch_size):
-    """Fixed-shape padded batches over a split (for jitted validation)."""
+    """Fixed-shape padded batches over a split (for jitted validation).
+
+    Full batches are zero-copy views into the split arrays (matters when
+    the split is gigabytes of decoded uint8 images); only the final
+    partial batch is padded into a copy.
+    """
     out = []
     n = len(inputs)
     for i in range(0, n, batch_size):
-        idx = np.arange(i, min(i + batch_size, n))
-        pad = batch_size - len(idx)
+        stop = min(i + batch_size, n)
         weights = np.ones(batch_size, np.float32)
-        if pad:
-            weights[len(idx):] = 0.0
-            idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
-        out.append((inputs[idx], labels[idx], weights))
+        if stop - i == batch_size:
+            out.append((inputs[i:stop], labels[i:stop], weights))
+            continue
+        pad = batch_size - (stop - i)
+        weights[stop - i:] = 0.0
+        x = np.concatenate([inputs[i:stop], np.zeros(
+            (pad, *np.shape(inputs)[1:]), np.asarray(inputs).dtype)])
+        y = np.concatenate([labels[i:stop], np.zeros(pad, np.asarray(labels).dtype)])
+        out.append((x, y, weights))
     return out
 
 
@@ -314,6 +323,10 @@ def train(
                 stopped_at = i
                 break
 
+    if out["model"] is None:
+        # no eval fired (e.g. resumed past the last eval boundary with
+        # max_iters < eval_freq): fall back to the current params
+        out["model"] = jax.tree.map(np.asarray, params)
     params = jax.tree.map(jnp.asarray, out["model"])
     val_loss, val_acc = validate(params, val_batches)
     if logger is not None:
