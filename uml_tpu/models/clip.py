@@ -70,6 +70,13 @@ class FP32LayerNorm(nn.Module):
     """LayerNorm evaluated in fp32, result cast back (model.py:153-159).
 
     epsilon matches torch's 1e-5 (flax defaults to 1e-6).
+
+    Perf note (measured, v5e ViT-B/16 bs512): the 27 LNs' convert+reduce
+    fusions are ~67 ms of a 204 ms forward, but swapping in the Pallas
+    one-pass kernel (uml_tpu.ops.layer_norm) made the model *slower*
+    (257 ms) — those XLA fusions also absorb the surrounding residual
+    adds/casts, and a pallas_call is a fusion barrier.  Keep XLA's LN here;
+    the kernel remains available as ops.layer_norm for standalone use.
     """
 
     @nn.compact
