@@ -275,3 +275,32 @@ def test_selfsup_train_smoke(affect_pickle):
               "val/score_x_raw", "val/modality_separate"):
         assert k in score
         assert 0.0 <= score[k] <= 1.0
+
+
+def test_selfsup_checkpoint_resume(affect_pickle, tmp_path):
+    from uml_tpu.core.checkpoint import TrainCheckpointer
+    from uml_tpu.train.selfsup import SelfSupTrainer, train_selfsup
+    from uml_tpu.cli.multibench import _affect_streams
+    import jax
+    import numpy as np
+
+    splits = load_affect(affect_pickle)
+
+    def run(ckpt_dir, epochs):
+        s1, s2, evals = _affect_streams(splits, None, 16)
+        model = make_seq_uml(6, 10, 10)
+        trainer = SelfSupTrainer(model, lr=1e-3, seed=0)
+        ck = TrainCheckpointer(ckpt_dir) if ckpt_dir else None
+        variables, score, _ = train_selfsup(
+            trainer, s1, s2, evals, mode="xy", num_epochs=epochs,
+            ds_name="mosi", eval_freq=1000, capture=False, checkpointer=ck)
+        if ck:
+            ck.close()
+        return jax.tree.map(np.asarray, variables)
+
+    ref = run(None, 3)
+    ckdir = str(tmp_path / "mbck")
+    run(ckdir, 2)            # "crashes" after epoch 2
+    resumed = run(ckdir, 3)  # resumes epoch 3 only
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(resumed)):
+        np.testing.assert_allclose(a, b, atol=2e-5)

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infoNCE_loss", action="store_true")
     p.add_argument("--data_dir", type=str, default=".")
     p.add_argument("--eval_freq", type=int, default=100)
+    p.add_argument("--ckpt_every", type=int, default=0,
+                   help="epoch-level orbax checkpointing (0 = off); "
+                        "restarted runs resume from the latest epoch")
     return p
 
 
@@ -156,12 +159,19 @@ def main(args):
                              pos_learnable=args.pos_learnable,
                              info_nce=args.infoNCE_loss)
         trainer = SelfSupTrainer(model, lr=args.lr, seed=seed)
+        checkpointer = None
+        if args.ckpt_every:
+            from uml_tpu.core.checkpoint import TrainCheckpointer
+
+            checkpointer = TrainCheckpointer(os.path.join(seed_dir, "orbax"))
         variables, score, _ = train_selfsup(
             trainer, stream_1, stream_2, eval_streams,
             mode=args.modality, num_epochs=args.num_epochs,
             step_k=args.step_k, alpha_x=args.alpha_x, alpha_y=args.alpha_y,
             ds_name=args.ds_name, eval_freq=args.eval_freq,
-            augment=args.augment, logger=logger)
+            augment=args.augment, logger=logger, checkpointer=checkpointer)
+        if checkpointer is not None:
+            checkpointer.close()
 
         print("seed: ", seed, " score: ", score)
         print("=====================================")

@@ -238,6 +238,7 @@ def train_selfsup(
     capture_samples: int = 1000,
     augment: bool = False,
     logger=None,
+    checkpointer=None,            # core.checkpoint.TrainCheckpointer
 ):
     # peek shapes from one batch of each stream
     d1, l1, _ = next(iter(stream_1()))
@@ -288,7 +289,25 @@ def train_selfsup(
     rng = jax.random.key(trainer.seed + 1)
     score = None
     embeddings_history = {"x1": [], "x2": []} if capture else None
-    for epoch in range(num_epochs):
+
+    # epoch-level resume (net-new vs the reference's end-of-run save)
+    start_epoch = 0
+    ckpt_on = checkpointer is not None and getattr(checkpointer, "enabled", False)
+    if ckpt_on:
+        like = {"variables": variables, "opt_state": opt_state, "epoch": 0}
+        step_restored, state = checkpointer.restore_latest(like)
+        if step_restored is not None:
+            print(f"=> Resuming from checkpoint at epoch {state['epoch']}")
+            variables = jax.tree.map(jnp.asarray, state["variables"])
+            opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+            start_epoch = int(state["epoch"])
+            # fast-forward the shuffle streams AND the dropout rng so the
+            # resumed run replays the identical batch/key sequence
+            for _ in range(start_epoch):
+                for _ in zip(stream_1(), stream_2()):
+                    rng, _key = jax.random.split(rng)
+
+    for epoch in range(start_epoch, num_epochs):
         ax = alpha_x
         if epoch <= step_k and mode == "xy":
             print(f"Training only on y, step: [{epoch}/{step_k}]; "
@@ -322,6 +341,11 @@ def train_selfsup(
                                   for k, v in align.items()})
                 if logger is not None:
                     logger.log(score)
+
+        if ckpt_on:
+            checkpointer.save(epoch + 1, {
+                "variables": variables, "opt_state": opt_state,
+                "epoch": epoch + 1})
 
         if eval_streams and epoch == num_epochs - 1:
             print("Final evaluation...")
