@@ -79,11 +79,18 @@ class TextModel:
 
     def _last_hidden(self, input_ids: np.ndarray, attention_mask: np.ndarray):
         if self.backend == "flax":
-            out = self.model(
-                input_ids=jnp.asarray(input_ids),
-                attention_mask=jnp.asarray(attention_mask),
-            )
-            return np.asarray(out.last_hidden_state)
+            if not hasattr(self, "_jitted"):
+                import jax
+
+                # HF flax models run eagerly by default — op-by-op dispatch
+                # costs ~30ms/op through a remote TPU relay
+                self._jitted = jax.jit(
+                    lambda ids, mask: self.model(
+                        input_ids=ids, attention_mask=mask
+                    ).last_hidden_state
+                )
+            return np.asarray(self._jitted(jnp.asarray(input_ids),
+                                           jnp.asarray(attention_mask)))
         import torch
 
         with torch.no_grad():
