@@ -56,34 +56,42 @@ def build_shared_parser() -> argparse.ArgumentParser:
     # dataset / shots / seed
     p.add_argument("--dataset", type=str, default="fgvc_aircraft",
                    choices=list(dataset_classes.keys()))
-    p.add_argument("--train-shot", type=int, default=1, dest="train_shot")
-    p.add_argument("--max-val-shot", type=int, default=4, dest="max_val_shot")
+    p.add_argument("--train-shot", "--train_shot", type=int, default=1,
+                   dest="train_shot")
+    p.add_argument("--max-val-shot", "--max_val_shot", type=int, default=4,
+                   dest="max_val_shot")
     p.add_argument("--seed", type=int, default=1)
 
     # encoders
-    p.add_argument("--clip-encoder", type=str, default="RN50",
-                   choices=CLIP_ENCODERS, dest="clip_encoder")
-    p.add_argument("--vision-model", type=str, default="",
+    p.add_argument("--clip-encoder", "--clip_encoder", type=str,
+                   default="RN50", choices=CLIP_ENCODERS, dest="clip_encoder")
+    p.add_argument("--vision-model", "--vision_model", type=str, default="",
                    choices=[""] + VISION_MODELS, dest="vision_model")
-    p.add_argument("--language-model", type=str, default="",
-                   choices=[""] + LANGUAGE_MODELS, dest="language_model")
+    p.add_argument("--language-model", "--language_model", type=str,
+                   default="", choices=[""] + LANGUAGE_MODELS,
+                   dest="language_model")
 
     # text/descriptor/image augmentation
     p.add_argument("--descriptor_type", type=str, default=None,
                    choices=["gpt3_cupl"])
-    p.add_argument("--text-augmentation", type=str, default="vanilla",
+    p.add_argument("--text-augmentation", "--text_augmentation", type=str,
+                   default="vanilla",
                    choices=["hand_crafted", "classname", "vanilla",
                             "template_mining"],
                    dest="text_augmentation")
-    p.add_argument("--image-augmentation", type=str, default="crop",
+    p.add_argument("--image-augmentation", "--image_augmentation", type=str,
+                   default="crop",
                    choices=["crop", "flip", "randomcrop"],
                    dest="image_augmentation")
-    p.add_argument("--batch-size", type=int, default=32, dest="batch_size")
-    p.add_argument("--num-workers", type=int, default=4, dest="num_workers")
+    p.add_argument("--batch-size", "--batch_size", type=int, default=32,
+                   dest="batch_size")
+    p.add_argument("--num-workers", "--num_workers", type=int, default=4,
+                   dest="num_workers")
 
     # training flags (finetune)
     p.add_argument("--text_shot", default=None)
-    p.add_argument("--custom-name", default="", dest="custom_name")
+    p.add_argument("--custom-name", "--custom_name", default="",
+                   dest="custom_name")
     p.add_argument("--modality", type=str, default="image",
                    choices=["crossmodal", "image", "text"])
     p.add_argument("--classifier_init", type=str, default="zeroshot",
@@ -93,7 +101,8 @@ def build_shared_parser() -> argparse.ArgumentParser:
                             "classname", "vanilla", "template_mining"])
     p.add_argument("--logit", type=float, default=4.60517)
     p.add_argument("--hyperparams", type=str, default="linear")
-    p.add_argument("--eval_test", action="store_true", default=False)
+    p.add_argument("--eval_test", "--eval-test", action="store_true",
+                   default=False)
     p.add_argument("--alpha", type=float, default=0.0)
     p.add_argument("--flip_projection", type=bool, default=False)
     p.add_argument("--common_dim", type=int, default=0)
