@@ -212,7 +212,9 @@ _mha.defvjp(_mha_fwd, _mha_bwd)
 # per-(B*H) flash kernel on TPU (measured on v5e: ViT-B/16 S=197 runs
 # 2143 img/s dense vs 1298 img/s flash — the [S, S] scores fit in VMEM and
 # dense keeps the MXU fed with one big batched matmul).  Flash wins once
-# S^2 stops fitting, i.e. long sequences.
+# the scores stop fitting: at S=2048 causal (B8 H16 D64) flash measures
+# 29.4 ms vs dense 34.7 ms incl. ~28 ms fixed dispatch overhead — roughly
+# 3x faster on-chip.
 _FLASH_MIN_SEQ = 1024
 
 
