@@ -84,6 +84,13 @@ def main(args: argparse.Namespace):
 
     run_name = f"mode_{args.mode}-seed_{args.seed}-tag_{args.tag}"
     outdir = os.path.join(args.outdir, run_name)
+    results_path = os.path.join(outdir, "results.json")
+    if os.path.exists(results_path) and not (
+        getattr(args, "overwrite", False) or getattr(args, "force_rerun", False)
+    ):
+        print(f"=> Skipping {outdir} as results exist (use -f/-o to rerun)")
+        with open(results_path) as f:
+            return json.load(f)
     logger = init_logger("Gaussian_experiments", config=vars(args),
                          tags=[args.mode, args.tag], logdir=outdir)
 
