@@ -304,3 +304,20 @@ def test_selfsup_checkpoint_resume(affect_pickle, tmp_path):
     resumed = run(ckdir, 3)  # resumes epoch 3 only
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(resumed)):
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_make_robust_tests_levels(affect_pickle):
+    from uml_tpu.data.affect import make_robust_tests
+
+    splits = load_affect(affect_pickle)
+    noisy = make_robust_tests(splits["test"], levels=3)
+    assert set(noisy) == {"vision", "audio", "timeseries"}
+    assert len(noisy["vision"]) == 3
+    # level 0 = no noise
+    np.testing.assert_allclose(noisy["vision"][0], splits["test"].vision,
+                               atol=1e-6)
+    # higher levels perturb
+    assert not np.allclose(noisy["vision"][2], splits["test"].vision)
+    v, a, t = noisy["timeseries"][2]
+    assert v.shape == splits["test"].vision.shape
+    assert t.shape == splits["test"].text.shape

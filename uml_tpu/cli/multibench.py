@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="epoch-level orbax checkpointing (0 = off); "
                         "restarted runs resume from the latest epoch")
+    p.add_argument("--robust_test", action="store_true",
+                   help="after training, probe-evaluate across 10 noise "
+                        "levels per modality (affect get_data.py:326-410)")
     return p
 
 
@@ -111,6 +114,44 @@ def _mimic_streams(splits, batch_size):
         "test": xy_stream(splits["valid"], 0, False),
     }
     return stream_1, stream_2, eval_streams
+
+
+def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
+                    levels=10):
+    """Degradation curves: test-split probes under per-modality noise.
+
+    Mirrors the reference's robust_test loaders (vision/audio/all-timeseries
+    noise at levels 0..9/10; the GloVe text path needs downloadable vectors
+    — see data/text_embed.reembed_noisy_text for the pluggable equivalent).
+    """
+    import copy
+
+    from uml_tpu.data.affect import make_robust_tests
+    from uml_tpu.train.selfsup import evaluate
+
+    noisy = make_robust_tests(splits["test"], levels=levels)
+    curves = {}
+    for modality, variants in (("vision", noisy["vision"]),
+                               ("timeseries", noisy["timeseries"])):
+        curve = []
+        for level, variant in enumerate(variants):
+            test = copy.copy(splits["test"])
+            test.arrays = dict(splits["test"].arrays)
+            if modality == "vision":
+                test.arrays["vision"] = variant
+            else:
+                test.arrays["vision"], test.arrays["audio"], \
+                    test.arrays["text"] = variant
+            eval_streams = _affect_streams(
+                {"train": splits["train"], "valid": splits["valid"],
+                 "test": test}, None, batch_size)[2]
+            score = evaluate(trainer, variables, eval_streams, ds_name)
+            curve.append({k: v for k, v in score.items()
+                          if k.startswith("test/score")})
+            print(f"[robust {modality} level {level}] "
+                  f"score_xy={curve[-1]['test/score_xy']:.4f}")
+        curves[modality] = curve
+    return curves
 
 
 def main(args):
@@ -184,6 +225,10 @@ def main(args):
         save_cache(jax.tree.map(np.asarray, variables),
                    os.path.join(seed_dir, "model.pth"))
         save_cache(score, os.path.join(seed_dir, "results.pth"))
+        if args.robust_test and args.ds_name != "mimic":
+            curves = robust_evaluate(trainer, variables, splits, batch_size,
+                                     args.ds_name)
+            save_cache(curves, os.path.join(seed_dir, "robustness.pth"))
         if hasattr(logger, "finish"):
             logger.finish()
 
