@@ -121,15 +121,38 @@ def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
     """Degradation curves: test-split probes under per-modality noise.
 
     Mirrors the reference's robust_test loaders (vision/audio/all-timeseries
-    noise at levels 0..9/10; the GloVe text path needs downloadable vectors
-    — see data/text_embed.reembed_noisy_text for the pluggable equivalent).
+    noise at levels 0..9, noise_level=l/10 per-modality and l/30 combined;
+    the GloVe text path needs downloadable vectors — see
+    data/text_embed.reembed_noisy_text for the pluggable equivalent).
+
+    Probes are fit ONCE on the clean train embeddings; each noise level
+    only re-embeds the test split and scores (the reference refits
+    everything per level — pure waste).
     """
     import copy
 
-    from uml_tpu.data.affect import make_robust_tests
-    from uml_tpu.train.selfsup import evaluate
+    import numpy as np
+
+    from uml_tpu.data.affect import make_robust_tests, map_labels
+    from uml_tpu.train.probes import make_classifier
+
+    def embed(split):
+        stream = _affect_streams(
+            {"train": split, "valid": split, "test": split}, None,
+            batch_size)[2]["test"]
+        zx, zy, _, _, labels = trainer.extract_embeddings(variables, stream())
+        return zx, zy, map_labels(labels, ds_name)
+
+    tr_zx, tr_zy, tr_lab = embed(splits["train"])
+    clfs = {}
+    for key, X in (("x", tr_zx), ("y", tr_zy),
+                   ("xy", np.concatenate([tr_zx, tr_zy], axis=1))):
+        clfs[key] = make_classifier("logistic", ds_name)
+        clfs[key].fit(X, tr_lab)
 
     noisy = make_robust_tests(splits["test"], levels=levels)
+    # audio variants exist for parity but don't perturb the (vision, text)
+    # modalities the probes consume in the reference's mod [0,2] setup
     curves = {}
     for modality, variants in (("vision", noisy["vision"]),
                                ("timeseries", noisy["timeseries"])):
@@ -142,14 +165,16 @@ def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
             else:
                 test.arrays["vision"], test.arrays["audio"], \
                     test.arrays["text"] = variant
-            eval_streams = _affect_streams(
-                {"train": splits["train"], "valid": splits["valid"],
-                 "test": test}, None, batch_size)[2]
-            score = evaluate(trainer, variables, eval_streams, ds_name)
-            curve.append({k: v for k, v in score.items()
-                          if k.startswith("test/score")})
+            te_zx, te_zy, te_lab = embed(test)
+            entry = {
+                "test/score_x": clfs["x"].score(te_zx, te_lab),
+                "test/score_y": clfs["y"].score(te_zy, te_lab),
+                "test/score_xy": clfs["xy"].score(
+                    np.concatenate([te_zx, te_zy], axis=1), te_lab),
+            }
+            curve.append(entry)
             print(f"[robust {modality} level {level}] "
-                  f"score_xy={curve[-1]['test/score_xy']:.4f}")
+                  f"score_xy={entry['test/score_xy']:.4f}")
         curves[modality] = curve
     return curves
 
@@ -205,7 +230,7 @@ def main(args):
             from uml_tpu.core.checkpoint import TrainCheckpointer
 
             checkpointer = TrainCheckpointer(os.path.join(seed_dir, "orbax"))
-        variables, score, _ = train_selfsup(
+        variables, score, embeddings = train_selfsup(
             trainer, stream_1, stream_2, eval_streams,
             mode=args.modality, num_epochs=args.num_epochs,
             step_k=args.step_k, alpha_x=args.alpha_x, alpha_y=args.alpha_y,
@@ -225,6 +250,10 @@ def main(args):
         save_cache(jax.tree.map(np.asarray, variables),
                    os.path.join(seed_dir, "model.pth"))
         save_cache(score, os.path.join(seed_dir, "results.pth"))
+        if embeddings is not None and embeddings["x1"]:
+            # per-eval capture-embedding history (main.py:151-152)
+            save_cache({k: np.stack(v) for k, v in embeddings.items()},
+                       os.path.join(seed_dir, "embeddings.pth"))
         if args.robust_test and args.ds_name != "mimic":
             curves = robust_evaluate(trainer, variables, splits, batch_size,
                                      args.ds_name)

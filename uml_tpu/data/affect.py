@@ -182,20 +182,27 @@ class AffectBatchStream:
 
 
 def make_robust_tests(split: AffectSplit, levels=10, rng_seed=0):
-    """Noise-level test variants per modality (get_data.py:326-410 minus the
-    GloVe text path, which needs downloadable vectors)."""
+    """Noise-level test variants per modality.
+
+    Parity with get_data.py:349-410: per-modality variants use
+    noise_level = level/10 with rand_drop=False; the combined-timeseries
+    variant uses level/(10*3).  (The GloVe noisy-text path needs
+    downloadable vectors — see data/text_embed.reembed_noisy_text.)
+    """
     from uml_tpu.data.robustness import add_timeseries_noise
 
     rng = np.random.RandomState(rng_seed)
     out = {"vision": [], "audio": [], "timeseries": []}
     for level in range(levels):
-        p = level / 10
         vision = np.stack(add_timeseries_noise(
-            [list(split.vision)], p, rng=rng)[0]).astype(np.float32)
+            [list(split.vision)], level / 10, rand_drop=False,
+            rng=rng)[0]).astype(np.float32)
         audio = np.stack(add_timeseries_noise(
-            [list(split.audio)], p, rng=rng)[0]).astype(np.float32)
+            [list(split.audio)], level / 10, rand_drop=False,
+            rng=rng)[0]).astype(np.float32)
         both = add_timeseries_noise(
-            [list(split.vision), list(split.audio), list(split.text)], p, rng=rng)
+            [list(split.vision), list(split.audio), list(split.text)],
+            level / (10 * 3), rand_drop=False, rng=rng)
         out["vision"].append(vision)
         out["audio"].append(audio)
         out["timeseries"].append([np.stack(x).astype(np.float32) for x in both])

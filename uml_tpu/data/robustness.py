@@ -32,13 +32,20 @@ import numpy as np
 
 
 def white_noise(data, p, rng=None):
+    """One N(0, p) scalar offset per element of ``data``.
+
+    At the nesting the reference's robust_test path uses
+    (``add_timeseries_noise([whole_split_array], ...)``, get_data.py:353),
+    each element is a full [T, D] sample, so a WHOLE SAMPLE gets a single
+    shared offset (timeseries_robust.py:28-36 'data[i][time] += normal').
+    """
     rng = rng or np.random
-    return [np.asarray(d, dtype=np.float64)
-            + rng.normal(0, p, size=(len(d),) + (1,) * (np.asarray(d).ndim - 1))
-            for d in data]
+    return [np.asarray(d, dtype=np.float64) + rng.normal(0, p) for d in data]
 
 
 def random_drop(data, p, rng=None):
+    """Drop individual entries with probability p (elementwise — the
+    reference's _random_drop_helper recurses to scalar level)."""
     rng = rng or np.random
     out = []
     for d in data:
@@ -50,13 +57,14 @@ def random_drop(data, p, rng=None):
 
 
 def structured_drop(data, p, rng=None):
-    """Drop whole time steps (all features at once)."""
+    """Zero whole elements of ``data`` with probability p — whole samples
+    at the reference robust_test nesting (timeseries_robust.py:72-80)."""
     rng = rng or np.random
     out = []
     for d in data:
         d = np.array(d, dtype=np.float64)
-        mask = rng.random(len(d)) < p
-        d[mask] = 0.0
+        if rng.random() < p:
+            d[:] = 0.0
         out.append(d)
     return out
 

@@ -118,6 +118,11 @@ int uml_decode_jpeg_resize_crop(const uint8_t* jpeg, size_t n, int target,
                                 uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
+  // buffers live OUTSIDE the setjmp scope: longjmp skips destructors of
+  // objects constructed after setjmp, so declaring them first lets the
+  // normal return path free them after an error
+  std::vector<uint8_t> decoded;
+  std::vector<uint8_t> resized;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
   if (setjmp(jerr.jump)) {
@@ -147,7 +152,7 @@ int uml_decode_jpeg_resize_crop(const uint8_t* jpeg, size_t n, int target,
   jpeg_start_decompress(&cinfo);
   const int sw = cinfo.output_width;
   const int sh = cinfo.output_height;
-  std::vector<uint8_t> decoded(static_cast<size_t>(sw) * sh * 3);
+  decoded.resize(static_cast<size_t>(sw) * sh * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = decoded.data() + static_cast<size_t>(cinfo.output_scanline) * sw * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -168,7 +173,7 @@ int uml_decode_jpeg_resize_crop(const uint8_t* jpeg, size_t n, int target,
     dw = std::max(target,
                   static_cast<int>(static_cast<double>(target) * full_w / full_h));
   }
-  std::vector<uint8_t> resized(static_cast<size_t>(dw) * dh * 3);
+  resized.resize(static_cast<size_t>(dw) * dh * 3);
   resize_bicubic(decoded.data(), sw, sh, resized.data(), dw, dh);
 
   // center crop target x target

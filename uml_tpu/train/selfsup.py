@@ -106,8 +106,13 @@ class SelfSupTrainer:
             metrics["train/recon_y_loss"] = jnp.sum(
                 (recon - y[:, 1:, :]) ** 2 * m[:, 1:, :]) / (
                 jnp.sum(m[:, 1:, :]) + 1e-8)
-            flat = recon.reshape(-1, recon.shape[-1])
-            metrics["train/pred_effective_rank_y"] = compute_effective_rank(flat)
+            # effective ranks over VALID tokens (train.py:384-390); zeroed
+            # padding rows contribute no singular mass, so masking ==
+            # the reference's boolean gather
+            pred_flat = (recon * m[:, 1:, :]).reshape(-1, recon.shape[-1])
+            gt_flat = (y[:, 1:, :] * m[:, 1:, :]).reshape(-1, y.shape[-1])
+            metrics["train/pred_effective_rank_y"] = compute_effective_rank(pred_flat)
+            metrics["train/gt_effective_rank_y"] = compute_effective_rank(gt_flat)
         return variables, opt_state, metrics
 
     # -- embedding extraction (jitted) ------------------------------------
@@ -134,13 +139,6 @@ class SelfSupTrainer:
         return (np.concatenate(zx), np.concatenate(zy),
                 np.asarray(lsx), np.asarray(lsy),
                 np.concatenate(labels))
-
-
-def paired_eval_stream(split_batches):
-    """Adapt (modalities dict, lengths dict, labels) batches into the
-    {x, y} form the trainer consumes (x=modality[0], y=modality[1])."""
-    for data, lengths, labels in split_batches:
-        yield data, lengths, labels
 
 
 def evaluate(trainer, variables, eval_streams, ds_name):
@@ -197,8 +195,13 @@ def evaluate_raw(eval_streams, ds_name):
     for split, stream in eval_streams.items():
         xs, ys, labels = [], [], []
         for data, lengths, lab in stream():
-            xs.append(np.asarray(data["x"]).mean(axis=1))
-            ys.append(np.asarray(data["y"]).mean(axis=1))
+            # the reference means over the BATCH-max padded length
+            # (collate pads per batch, train.py:52-58); divide by the
+            # batch's true max length rather than the split-max padding
+            tx = max(int(np.max(lengths["x"])), 1)
+            ty = max(int(np.max(lengths["y"])), 1)
+            xs.append(np.asarray(data["x"]).sum(axis=1) / tx)
+            ys.append(np.asarray(data["y"]).sum(axis=1) / ty)
             labels.append(np.asarray(lab))
         feats[split] = {"x": np.concatenate(xs), "y": np.concatenate(ys),
                         "labels": map_labels(np.concatenate(labels), ds_name)}
@@ -318,10 +321,15 @@ def train_selfsup(
             x_in = da["x"]
             if augment:
                 # --augment applies per-sequence views (the reference
-                # accepts this flag but never uses it, train.py:296)
+                # accepts this flag but never uses it, train.py:296);
+                # the rng is derived per (seed, epoch, batch) so resumed
+                # runs replay identical augmentations
                 from uml_tpu.data.seq_augment import augment_single
 
-                x_in = augment_single(x_in, np.random)
+                aug_rng = np.random.RandomState(
+                    (trainer.seed * 1_000_003 + epoch * 10_007 + i_batch)
+                    % (2**31))
+                x_in = augment_single(x_in, aug_rng)
             rng, key = jax.random.split(rng)
             variables, opt_state, metrics = trainer.train_step(
                 variables, opt_state,
@@ -339,6 +347,12 @@ def train_selfsup(
                                               cap["lx"], cap["ly"])
                     score.update({k: _clip01(v) if "cka" in k else float(v)
                                   for k, v in align.items()})
+                    # per-eval pooled capture embeddings (the reference's
+                    # embeddings.pth history, main.py:151-152)
+                    zx, zy, _, _ = trainer._embed_batch(
+                        variables, cap["x"], cap["y"], cap["lx"], cap["ly"])
+                    embeddings_history["x1"].append(np.asarray(zx))
+                    embeddings_history["x2"].append(np.asarray(zy))
                 if logger is not None:
                     logger.log(score)
 

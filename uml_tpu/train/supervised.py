@@ -169,13 +169,13 @@ def train(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         image_loss, text_loss, img_logits, txt_logits, img_feats = aux
+        # diagnostic scales come from the PRE-step params, like the
+        # reference's autograd.grad before optimizer.step (finetune.py:190-195)
+        img_scale, txt_scale = model._scales(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
         metrics = {"train/image_loss": image_loss, "train/text_loss": text_loss}
-
-        # closed-form per-modality head-weight gradients (finetune.py:190-206)
-        img_scale, txt_scale = model._scales(params)
         if has_image:
             p_img = jax.nn.softmax(img_logits, -1)
             onehot = jax.nn.one_hot(img_labels, img_logits.shape[-1])
@@ -297,7 +297,6 @@ def train(
 
         if logger is not None:
             logger.log({k: float(v) for k, v in metrics.items()})
-        save_ckpt(i)
 
         if i % eval_freq == 0:
             snapshot = jax.tree.map(np.asarray, params)
@@ -322,6 +321,9 @@ def train(
                 print(f"=> Early stopping at Iter {i}")
                 stopped_at = i
                 break
+        # checkpoint AFTER the eval so the snapshot carries this iteration's
+        # best-model/early-stop state (resume skips the eval it already ran)
+        save_ckpt(i)
 
     if out["model"] is None:
         # no eval fired (e.g. resumed past the last eval boundary with
