@@ -1,9 +1,17 @@
-from uml_tpu.ops.attention import multi_head_attention, mha_reference, flash_attention
+from uml_tpu.ops.attention import (
+    dense_attention_bshd,
+    flash_attention,
+    mha_reference,
+    multi_head_attention,
+)
 from uml_tpu.ops.image_norm import normalize_images
+from uml_tpu.ops.layer_norm import layer_norm
 
 __all__ = [
     "multi_head_attention",
     "mha_reference",
     "flash_attention",
+    "dense_attention_bshd",
     "normalize_images",
+    "layer_norm",
 ]
