@@ -306,6 +306,59 @@ def test_selfsup_checkpoint_resume(affect_pickle, tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+def test_selfsup_deterministic_reruns(affect_pickle):
+    """Two identical runs must produce identical scores: the eval-side
+    shuffle uses an explicit generator, not ambient global RNG state."""
+    from uml_tpu.train.selfsup import SelfSupTrainer, train_selfsup
+    from uml_tpu.cli.multibench import _affect_streams
+
+    splits = load_affect(affect_pickle)
+
+    def run():
+        # perturb the global RNG differently each run: results must not move
+        np.random.standard_normal(int(np.random.randint(1, 50)))
+        s1, s2, evals = _affect_streams(splits, None, 16)
+        model = make_seq_uml(6, 10, 10)
+        trainer = SelfSupTrainer(model, lr=1e-3, seed=0)
+        _, score, _ = train_selfsup(
+            trainer, s1, s2, evals, mode="xy", num_epochs=1,
+            ds_name="mosi", eval_freq=1000, capture=False)
+        return score
+
+    a, b = run(), run()
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_selfsup_resume_past_completion(affect_pickle, tmp_path):
+    """Resuming a run whose checkpoint is already at num_epochs must still
+    return the finished score (not None)."""
+    from uml_tpu.core.checkpoint import TrainCheckpointer
+    from uml_tpu.train.selfsup import SelfSupTrainer, train_selfsup
+    from uml_tpu.cli.multibench import _affect_streams
+
+    splits = load_affect(affect_pickle)
+    ckdir = str(tmp_path / "mbdone")
+
+    def run(epochs):
+        s1, s2, evals = _affect_streams(splits, None, 16)
+        model = make_seq_uml(6, 10, 10)
+        trainer = SelfSupTrainer(model, lr=1e-3, seed=0)
+        ck = TrainCheckpointer(ckdir)
+        _, score, _ = train_selfsup(
+            trainer, s1, s2, evals, mode="xy", num_epochs=epochs,
+            ds_name="mosi", eval_freq=1000, capture=False, checkpointer=ck)
+        ck.close()
+        return score
+
+    first = run(2)
+    resumed = run(2)  # checkpoint already at epoch 2: loop body never runs
+    assert resumed is not None
+    for k in ("test/score_x", "test/score_y", "test/score_xy"):
+        assert resumed[k] == first[k], (k, resumed[k], first[k])
+
+
 def test_make_robust_tests_levels(affect_pickle):
     from uml_tpu.data.affect import make_robust_tests
 

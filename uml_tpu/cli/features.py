@@ -287,6 +287,9 @@ class _HFEncoderAdapter:
 
 
 def main(args):
+    from uml_tpu.core.flags import apply_debug_flags
+
+    apply_debug_flags(args)
     if args.seed >= 0:
         print(f"Setting fixed seed: {args.seed}")
         set_random_seed(args.seed)

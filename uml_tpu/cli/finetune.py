@@ -12,11 +12,13 @@ Flag/behavior parity with vision_language/finetune.py:
     results.pth (:395-439) — torch-format artifacts, collect_results
     compatible
 
-TPU-first: with a frozen backbone (hyperparams='linear', and 'clip_linear'
-whose reference code path *also* freezes nothing — we mirror the reference
-condition exactly, finetune.py:338) and deterministic augmentation, image
+TPU-first: with a frozen backbone and deterministic augmentation, image
 features are precomputed once and the train step is head-only matmuls;
-otherwise raw uint8 batches stream through the jitted backbone.
+otherwise raw uint8 batches stream through the jitted backbone.  By default
+every grid except the explicit full-finetune ones freezes the backbone
+(the reference freezes ONLY hyperparams='linear', finetune.py:338, leaving
+'clip_linear' training the whole fp32 tower — pass --strict_reference_parity
+to reproduce that quirk exactly).
 """
 
 from __future__ import annotations
@@ -118,9 +120,14 @@ def setup(datasets, hparams, args):
     # (finetune.py:338), which leaves 'clip_linear' probes training the
     # whole fp32 CLIP tower at lr 1e-3 — a latent quirk, not a capability
     # anyone uses. Here every grid except the explicit full-finetune one
-    # freezes the backbone; full finetuning is the raw-image milestone.
-    freeze_backbone = args.hyperparams not in (
-        "full_ds_full_model_finetune", "smoke_full")
+    # freezes the backbone; --strict_reference_parity restores the
+    # reference condition exactly so reference-named grids reproduce
+    # reference behavior bit-for-bit.
+    if getattr(args, "strict_reference_parity", False):
+        freeze_backbone = args.hyperparams == "linear"  # finetune.py:338
+    else:
+        freeze_backbone = args.hyperparams not in (
+            "full_ds_full_model_finetune", "smoke_full")
 
     text_ds = datasets["text_ds"]
 
@@ -295,6 +302,9 @@ def sweep(datasets, hyperparams, args):
 
 
 def main(args):
+    from uml_tpu.core.flags import apply_debug_flags
+
+    apply_debug_flags(args)
     if args.seed >= 0:
         print(f"=> Setting fixed seed: {args.seed}")
         set_random_seed(args.seed)

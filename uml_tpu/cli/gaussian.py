@@ -49,12 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tag", type=str, default="default")
     p.add_argument("--attenuation", type=float, default=0.05)
     p.add_argument("--unrelated_info", action="store_true")
+    p.add_argument("--debug_nans", action="store_true", default=False,
+                   help="enable jax.debug_nans (NaN-check mode)")
     p.add_argument("--outdir", type=str, default="results/gaussian",
                    help="where to write metrics.jsonl / results.json")
     return p
 
 
 def main(args: argparse.Namespace):
+    from uml_tpu.core.flags import apply_debug_flags
+
+    apply_debug_flags(args)
+
     def dgp(seed, n, attenuate, dist):
         return generate_data({
             "seed": seed,

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pos_embd", action="store_true")
     p.add_argument("--pos_learnable", action="store_true")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--debug_nans", action="store_true", default=False,
+                   help="enable jax.debug_nans (NaN-check mode)")
     p.add_argument("--run_name", type=str, default="")
     p.add_argument("--results_dir", type=str, default="./results")
     p.add_argument("--log_dir", type=str, default="./logs")
@@ -180,6 +182,9 @@ def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
 
 
 def main(args):
+    from uml_tpu.core.flags import apply_debug_flags
+
+    apply_debug_flags(args)
     cfg = DATASET_CONFIG[args.ds_name]
     batch_size = cfg["batch_size"]
     indims = cfg["indims"]

@@ -119,4 +119,23 @@ def build_shared_parser() -> argparse.ArgumentParser:
                    help="orbax mid-run checkpoint interval in iterations "
                         "(0 = off); restarted runs resume from the latest "
                         "checkpoint (net-new vs the reference)")
+    p.add_argument("--strict_reference_parity", action="store_true",
+                   default=False,
+                   help="reproduce reference quirks bit-for-bit where this "
+                        "build deliberately deviates (e.g. finetune.py:338 "
+                        "freezes the backbone ONLY for hyperparams='linear', "
+                        "so 'clip_linear' trains the whole tower)")
+    p.add_argument("--debug_nans", action="store_true", default=False,
+                   help="enable jax.debug_nans: every jitted step re-checks "
+                        "outputs for NaN and raises at the producing op "
+                        "(the TPU-native stand-in for CUDA sanitizer runs)")
     return p
+
+
+def apply_debug_flags(args) -> None:
+    """Apply debug-mode flags (call once from each driver's main)."""
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        print("=> jax.debug_nans enabled (NaN-check mode)")
+        jax.config.update("jax_debug_nans", True)

@@ -106,13 +106,13 @@ class SelfSupTrainer:
             metrics["train/recon_y_loss"] = jnp.sum(
                 (recon - y[:, 1:, :]) ** 2 * m[:, 1:, :]) / (
                 jnp.sum(m[:, 1:, :]) + 1e-8)
-            # effective ranks over VALID tokens (train.py:384-390); zeroed
-            # padding rows contribute no singular mass, so masking ==
-            # the reference's boolean gather
+            # effective rank over VALID predicted tokens (train.py:389-390);
+            # zeroed padding rows contribute no singular mass (uncentered
+            # SVD), so masking == the reference's boolean gather.  The GT
+            # counterpart is computed once from the fixed capture set
+            # (train.py:388 uses flattened_fixed_samples_x2), not per batch.
             pred_flat = (recon * m[:, 1:, :]).reshape(-1, recon.shape[-1])
-            gt_flat = (y[:, 1:, :] * m[:, 1:, :]).reshape(-1, y.shape[-1])
             metrics["train/pred_effective_rank_y"] = compute_effective_rank(pred_flat)
-            metrics["train/gt_effective_rank_y"] = compute_effective_rank(gt_flat)
         return variables, opt_state, metrics
 
     # -- embedding extraction (jitted) ------------------------------------
@@ -141,8 +141,15 @@ class SelfSupTrainer:
                 np.concatenate(labels))
 
 
-def evaluate(trainer, variables, eval_streams, ds_name):
-    """Probe evaluation; parity with train.py:93-239."""
+def evaluate(trainer, variables, eval_streams, ds_name, *, seed: int = 0):
+    """Probe evaluation; parity with train.py:93-239.
+
+    ``seed`` drives the modality-separability shuffle through an explicit
+    generator so identical runs produce identical results.pth regardless of
+    ambient global-RNG state (the reference relies on its up-front global
+    seeding, utilis.py:8-16).
+    """
+    rng = np.random.default_rng(seed)
     embds = {}
     for split, stream in eval_streams.items():
         zx, zy, loss_x, loss_y, labels = trainer.extract_embeddings(
@@ -158,7 +165,7 @@ def evaluate(trainer, variables, eval_streams, ds_name):
         e = embds[split]
         X = np.concatenate([e["x1"], e["x2"]], axis=0)
         y = np.concatenate([np.zeros(len(e["x1"])), np.ones(len(e["x2"]))])
-        perm = np.random.permutation(len(X))
+        perm = rng.permutation(len(X))
         from uml_tpu.train.probes import make_classifier
 
         clf = make_classifier("logistic", ds_name)
@@ -269,6 +276,15 @@ def train_selfsup(
 
     raw_results = evaluate_raw(eval_streams, ds_name)
 
+    # GT effective rank of the y modality: constant, computed once from the
+    # capture set's valid tokens (train.py:388, flattened_fixed_samples_x2)
+    gt_eff_rank_y = None
+    if cap is not None and "y" in mode:
+        m = length_mask(cap["ly"], cap["y"].shape[1])[..., None].astype(
+            cap["y"].dtype)
+        gt_flat = (cap["y"] * m).reshape(-1, cap["y"].shape[-1])
+        gt_eff_rank_y = float(compute_effective_rank(gt_flat))
+
     @functools.partial(jax.jit, static_argnames=())
     def capture_alignment(variables, x, y, lx, ly):
         out = trainer.model.apply(variables, x, y, lx, ly, deterministic=True)
@@ -337,10 +353,14 @@ def train_selfsup(
                 jnp.asarray(la["x"]), jnp.asarray(lb["y"]),
                 jnp.float32(ax), jnp.float32(alpha_y), key, mode=mode)
             if logger is not None:
+                if gt_eff_rank_y is not None:
+                    metrics = dict(metrics,
+                                   **{"train/gt_effective_rank_y": gt_eff_rank_y})
                 logger.log({k: float(v) for k, v in metrics.items()})
 
             if eval_streams and i_batch % eval_freq == 0:
-                score = evaluate(trainer, variables, eval_streams, ds_name)
+                score = evaluate(trainer, variables, eval_streams, ds_name,
+                                 seed=trainer.seed)
                 score.update(raw_results)
                 if cap is not None:
                     align = capture_alignment(variables, cap["x"], cap["y"],
@@ -361,11 +381,15 @@ def train_selfsup(
                 "variables": variables, "opt_state": opt_state,
                 "epoch": epoch + 1})
 
-        if eval_streams and epoch == num_epochs - 1:
-            print("Final evaluation...")
-            score = evaluate(trainer, variables, eval_streams, ds_name)
-            score.update(raw_results)
-            if logger is not None:
-                logger.log({f"final_{k}": v for k, v in score.items()})
+    # Final evaluation runs after the loop (not inside the last epoch) so a
+    # resume at start_epoch >= num_epochs still reports the finished result
+    # instead of leaving score=None.
+    if eval_streams:
+        print("Final evaluation...")
+        score = evaluate(trainer, variables, eval_streams, ds_name,
+                         seed=trainer.seed)
+        score.update(raw_results)
+        if logger is not None:
+            logger.log({f"final_{k}": v for k, v in score.items()})
 
     return variables, score, embeddings_history
