@@ -1,16 +1,27 @@
 """Headline benchmark: CLIP ViT-B/16 image feature extraction throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline target (BASELINE.json north star): 5000 img/s/chip on TPU v5e.
 
-Methodology: device-resident uint8 batch -> fused normalize -> ViT-B/16
-forward (bf16) under jit; ITERS dispatches are enqueued back-to-back (as a
-real double-buffered extraction pipeline would) and every result is fetched
-to host at the end, so async dispatch can't fake timings but fixed per-
-dispatch relay overhead is amortized like production serving would.
+Primary metric (``value``): device-resident uint8 batch -> ViT-B/16 forward
+(bf16, CLIP normalization folded into the patch embedding) under jit; ITERS
+dispatches are enqueued back-to-back (as a real double-buffered extraction
+pipeline would) and every result is fetched to host at the end, so async
+dispatch can't fake timings but fixed per-dispatch relay overhead is
+amortized like production serving would.
+
+Extra key ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
+JPEGs — threaded host decode (native libjpeg, uml_tpu/native) -> uint8
+host->device transfer -> jitted forward, overlapped via async dispatch
+(what vision_language/features.py:225-248 does per split).  In this
+environment it is bounded by the axon relay's ~200 MB/s host->device link
+and the 1-CPU container's decode rate, not by the model; the decode-only
+rate is reported alongside so regressions in either stage are visible.
 """
 
 import json
+import os
+import tempfile
 import time
 
 import jax
@@ -18,43 +29,99 @@ import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.models.clip import build_clip
-from uml_tpu.ops import normalize_images
 
 BASELINE_IMG_PER_S = 5000.0
 BATCH = 512
 ITERS = 10
+PIPELINE_IMAGES = 2048
+
+
+def make_extract(model):
+    @jax.jit
+    def extract_sum(v, u8):
+        feats = model.apply(v, u8, method=lambda m, x: m.encode_image_u8(x))
+        return feats.sum()
+
+    return extract_sum
+
+
+def device_bench(extract_sum, variables):
+    # flat [B, H*W*3]: a 4D uint8 layout pads the 3-lane dim 42x on TPU
+    imgs = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, (BATCH, 224 * 224 * 3), dtype=np.uint8)))
+    float(extract_sum(variables, imgs))  # compile
+    t0 = time.time()
+    outs = [extract_sum(variables, imgs) for _ in range(ITERS)]
+    _ = [float(o) for o in outs]  # fetch everything: full completion
+    dt = (time.time() - t0) / ITERS
+    return BATCH / dt
+
+
+def pipeline_bench(extract_sum, variables):
+    """Synthetic JPEGs -> threaded decode -> transfer -> forward, overlapped."""
+    from uml_tpu.data.loader import ImageBatchLoader
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return None, None
+    d = tempfile.mkdtemp(prefix="uml_bench_jpg_")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(128):
+        arr = rng.integers(0, 256, (224, 224, 3), dtype=np.uint8)
+        p = os.path.join(d, f"{i}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    items = [{"impath": paths[i % len(paths)], "label": 0}
+             for i in range(PIPELINE_IMAGES)]
+
+    # decode-only rate (the host-side bound)
+    loader = ImageBatchLoader(items, "crop", BATCH, num_workers=8, prefetch=4)
+    t0 = time.time()
+    n = sum(len(b[1]) for b in loader)
+    decode_rate = n / (time.time() - t0)
+
+    # full pipeline: decode -> device_put -> forward, async-overlapped
+    loader = ImageBatchLoader(items, "crop", BATCH, num_workers=8, prefetch=4)
+    t0 = time.time()
+    outs = [extract_sum(variables,
+                        jax.device_put(jnp.asarray(
+                            imgs.reshape(imgs.shape[0], -1))))
+            for imgs, _, _ in loader]
+    _ = [float(o) for o in outs]
+    pipe_rate = PIPELINE_IMAGES / (time.time() - t0)
+    return pipe_rate, decode_rate
 
 
 def main():
-    model = build_clip("ViT-B/16", dtype=jnp.bfloat16)
+    # UML_ATTN lets perf experiments A/B attention layouts without edits
+    model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
+                       attn_impl=os.environ.get("UML_ATTN", "auto"))
     variables = model.init(
         jax.random.key(0),
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32),
     )
-    imgs = jax.device_put(jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (BATCH, 224, 224, 3), dtype=np.uint8)
-    ))
+    extract_sum = make_extract(model)
 
-    @jax.jit
-    def extract_sum(v, u8):
-        feats = model.apply(v, normalize_images(u8, jnp.bfloat16),
-                            method=lambda m, x: m.encode_image(x))
-        return feats.sum()
+    img_per_s = device_bench(extract_sum, variables)
+    pipe_rate, decode_rate = pipeline_bench(extract_sum, variables)
 
-    float(extract_sum(variables, imgs))  # compile
-    t0 = time.time()
-    outs = [extract_sum(variables, imgs) for _ in range(ITERS)]
-    vals = [float(o) for o in outs]  # fetch everything: full completion
-    dt = (time.time() - t0) / ITERS
-    img_per_s = BATCH / dt
-
-    print(json.dumps({
+    record = {
         "metric": "clip_vitb16_feature_extraction_throughput",
         "value": round(img_per_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
-    }))
+    }
+    if pipe_rate is not None:
+        record["pipeline_img_per_s"] = round(pipe_rate, 1)
+        record["pipeline_host_decode_img_per_s"] = round(decode_rate, 1)
+        record["pipeline_note"] = (
+            "jpeg decode->transfer->forward overlapped; env-bound by the "
+            "axon relay link (~200 MB/s) and 1-CPU host decode")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

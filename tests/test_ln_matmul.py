@@ -1,0 +1,113 @@
+"""Fused LN->matmul kernel tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uml_tpu.ops.ln_matmul import (
+    _ln_matmul_fwd_impl,
+    ln_matmul,
+    ln_matmul_reference,
+    supports_ln_matmul,
+)
+
+
+@pytest.mark.parametrize("n,k,m", [(256, 768, 2304), (100, 512, 1536)])
+def test_kernel_matches_reference(n, k, m):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.float32)
+    b = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+
+    got = _ln_matmul_fwd_impl(x, scale, bias, w, b, 1e-5, 256, True)
+    want = ln_matmul_reference(x, scale, bias, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_kernel_bf16_padding_rows():
+    """Non-multiple-of-block N: padded rows must not leak into outputs."""
+    rng = np.random.default_rng(1)
+    n, k, m = 37, 128, 256
+    x = jnp.asarray(rng.standard_normal((n, k)), jnp.bfloat16)
+    scale = jnp.ones((k,), jnp.float32)
+    bias = jnp.zeros((k,), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.bfloat16)
+    b = jnp.zeros((m,), jnp.float32)
+    got = _ln_matmul_fwd_impl(x, scale, bias, w, b, 1e-5, 256, True)
+    want = ln_matmul_reference(x, scale, bias, w, b)
+    assert got.shape == (n, m) and got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.1, rtol=0.05)
+
+
+def test_auto_impl_reference_on_cpu_and_grads():
+    """'auto' falls back to reference math on CPU; grads flow through the
+    custom_vjp (used by the full-finetune path)."""
+    rng = np.random.default_rng(2)
+    k, m = 128, 256
+    x = jnp.asarray(rng.standard_normal((4, 6, k)), jnp.float32)
+    scale = jnp.ones((k,), jnp.float32)
+    bias = jnp.zeros((k,), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.float32)
+    b = jnp.zeros((m,), jnp.float32)
+
+    out = ln_matmul(x, scale, bias, w, b)
+    assert out.shape == (4, 6, m)
+
+    def loss(x, scale, bias, w, b):
+        return ln_matmul(x, scale, bias, w, b).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, scale, bias, w, b)
+    ref_grads = jax.grad(
+        lambda *a: ln_matmul_reference(a[0].reshape(-1, k), *a[1:]).sum(),
+        argnums=(0, 1, 2, 3, 4))(x.reshape(-1, k), scale, bias, w, b)
+    np.testing.assert_allclose(np.asarray(grads[0]).reshape(-1, k),
+                               np.asarray(ref_grads[0]), atol=1e-4)
+    for g, rg in zip(grads[1:], ref_grads[1:]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(rg), atol=1e-4)
+
+
+def test_add_ln_matmul_kernel_matches_reference():
+    from uml_tpu.ops.ln_matmul import (
+        _add_ln_matmul_fwd_3d,
+        add_ln_matmul,
+        add_ln_matmul_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    b, s, k, m = 3, 17, 256, 512
+    x = jnp.asarray(rng.standard_normal((b, s, k)), jnp.float32)
+    delta = jnp.asarray(rng.standard_normal((b, s, k)), jnp.float32)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.float32)
+    bb = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+
+    for gelu in (False, True):
+        t, out = _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, bb,
+                                       1e-5, gelu, True)
+        t_ref, out_ref = add_ln_matmul_reference(x, delta, scale, bias, w, bb,
+                                                 gelu=gelu)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    # grads through the custom_vjp (full-finetune path)
+    def loss(x, delta):
+        t, out = add_ln_matmul(x, delta, scale, bias, w, bb, gelu=True)
+        return (t.sum() + out.sum())
+
+    gx, gd = jax.grad(loss, argnums=(0, 1))(x, delta)
+    assert np.isfinite(np.asarray(gx)).all() and np.isfinite(np.asarray(gd)).all()
+
+
+def test_supports_gate():
+    assert supports_ln_matmul(768, 3072)
+    assert supports_ln_matmul(512, 1536)
+    assert not supports_ln_matmul(60, 256)     # MultiBench-ish dims
+    assert not supports_ln_matmul(768, 200)

@@ -26,10 +26,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.ops.attention import dense_attention_bshd, multi_head_attention
+from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul
+from uml_tpu.ops.patch_embed import patch_embed_u8
 
 
 @dataclass(frozen=True)
@@ -66,26 +69,80 @@ def quick_gelu(x):
     return x * nn.sigmoid(1.702 * x)
 
 
+class _LNScaleBias(nn.Module):
+    """scale/bias params matching flax nn.LayerNorm's names, shapes, inits."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self):
+        return self.scale, self.bias
+
+
+class _ConvKernel(nn.Module):
+    """kernel param matching flax nn.Conv's name, shape, init."""
+
+    shape: tuple  # (kh, kw, in, out)
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+
+    def __call__(self):
+        return self.kernel
+
+
+class _DenseKernelBias(nn.Module):
+    """kernel/bias params matching flax nn.Dense's names, shapes, inits."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class FP32LayerNorm(nn.Module):
-    """LayerNorm evaluated in fp32, result cast back (model.py:153-159).
+    """LayerNorm with fp32 statistics, result cast back (model.py:153-159).
 
-    epsilon matches torch's 1e-5 (flax defaults to 1e-6).
+    epsilon matches torch's 1e-5 (flax defaults to 1e-6); the math matches
+    flax nn.LayerNorm(use_fast_variance=True).  Param tree is identical to
+    the flax-module version ("<name>/ln/{scale,bias}").
 
-    Perf note (measured, v5e ViT-B/16 bs512): the 27 LNs' convert+reduce
-    fusions are ~67 ms of a 204 ms forward, but swapping in the Pallas
-    one-pass kernel (uml_tpu.ops.layer_norm) made the model *slower*
-    (257 ms) — those XLA fusions also absorb the surrounding residual
-    adds/casts, and a pallas_call is a fusion barrier.  Keep XLA's LN here;
-    the kernel remains available as ops.layer_norm for standalone use.
+    Perf note (measured, v5e ViT-B/16 bs512): each standalone LN lowers to
+    a convert+reduce fusion costing ~2.5 ms at [512, 197, 768] — 13x under
+    the HBM bandwidth bound — and a standalone Pallas LN is *worse* because
+    pallas_call is a fusion barrier.  The residual blocks therefore fuse
+    LN into the following matmul (ops.ln_matmul) where the row tile is
+    already VMEM-resident; this module remains for the pre/post/final LNs
+    whose consumers aren't matmuls.
     """
 
+    epsilon: float = 1e-5
+
     @nn.compact
-    def __call__(self, x):
-        orig = x.dtype
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
-        )
-        return y.astype(orig)
+    def __call__(self, x, return_params: bool = False):
+        scale, bias = _LNScaleBias(x.shape[-1], name="ln")()
+        if return_params:
+            return scale, bias
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(x.dtype)
 
 
 class ResidualAttentionBlock(nn.Module):
@@ -93,6 +150,7 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    ln_matmul_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, causal: bool = False):
@@ -100,14 +158,20 @@ class ResidualAttentionBlock(nn.Module):
         h = self.heads
         d = self.width // h
 
-        y = FP32LayerNorm(name="ln_1")(x)
-        qkv = nn.Dense(3 * self.width, dtype=self.dtype, name="qkv")(y)
+        # pre-LN fused into the QKV matmul (ops.ln_matmul): one HBM read of
+        # the residual stream instead of a standalone convert+reduce pass.
+        # Param tree is identical to FP32LayerNorm + nn.Dense.
+        ln1_scale, ln1_bias = FP32LayerNorm(name="ln_1")(x, return_params=True)
+        qkv_kernel, qkv_bias = _DenseKernelBias(
+            self.width, 3 * self.width, name="qkv")()
+        qkv = ln_matmul(x, ln1_scale, ln1_bias,
+                        qkv_kernel.astype(self.dtype), qkv_bias,
+                        impl=self.ln_matmul_impl)
         if self.attn_impl == "dense_bshd":
-            # kept for experimentation: measured *slower* than the
-            # transpose path on v5e (299 vs 240 ms @ bs512) — XLA already
-            # folds the [3,B,H,S,D] transposes efficiently
-            # transpose-free path: [B, S, 3, H, D] slices feed batched
-            # dot_general directly (see ops.dense_attention_bshd)
+            # transpose-free layout, kept for experimentation: re-measured
+            # after the kernel/bf16-score work and still slower than the
+            # transpose path on v5e (2420 vs 2852 img/s @ bs512) — XLA
+            # prefers materializing [B,H,S,D] copies over batched-dim dots
             qkv = qkv.reshape(b, s, 3, h, d)
             attn = dense_attention_bshd(
                 qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], causal=causal
@@ -118,12 +182,17 @@ class ResidualAttentionBlock(nn.Module):
                 qkv[0], qkv[1], qkv[2], causal=causal, impl=self.attn_impl
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(b, s, self.width)
-        x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
+        delta = nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
 
-        y = FP32LayerNorm(name="ln_2")(x)
-        y = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(y)
-        y = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(quick_gelu(y))
-        return x + y
+        # second half of the block in one fused program: residual add,
+        # ln_2, the c_fc matmul, and the QuickGELU (ops.add_ln_matmul)
+        ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(x, return_params=True)
+        fc_kernel, fc_bias = _DenseKernelBias(
+            self.width, 4 * self.width, name="c_fc")()
+        x, y = add_ln_matmul(x, delta, ln2_scale, ln2_bias,
+                             fc_kernel.astype(self.dtype), fc_bias,
+                             gelu=True, impl=self.ln_matmul_impl)
+        return x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
 
 
 class Transformer(nn.Module):
@@ -132,13 +201,14 @@ class Transformer(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    ln_matmul_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, causal: bool = False):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, self.dtype, self.attn_impl,
-                name=f"resblocks_{i}",
+                self.ln_matmul_impl, name=f"resblocks_{i}",
             )(x, causal=causal)
         return x
 
@@ -147,22 +217,37 @@ class VisionTransformer(nn.Module):
     config: ClipConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    ln_matmul_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, pixels, return_tokens: bool = False):
+    def __call__(self, pixels, return_tokens: bool = False,
+                 from_uint8: bool = False):
         cfg = self.config
         scale = cfg.vision_width**-0.5
+        p_sz = cfg.vision_patch_size
+        b = pixels.shape[0]
 
-        x = nn.Conv(
-            cfg.vision_width,
-            kernel_size=(cfg.vision_patch_size, cfg.vision_patch_size),
-            strides=(cfg.vision_patch_size, cfg.vision_patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            name="patch_embed",
-        )(pixels.astype(self.dtype))  # [B, g, g, W] (NHWC)
-        b = x.shape[0]
-        x = x.reshape(b, cfg.grid_size**2, cfg.vision_width)
+        if from_uint8 and pixels.ndim == 2:
+            # flat [B, H*W*3] uint8: the 4D [B, H, W, 3] layout pads the
+            # 3-wide lane dim to 128 on TPU (42x HBM/transfer inflation);
+            # callers transfer flat and the reshape fuses into the patch
+            # extraction here, inside jit
+            r = cfg.image_resolution
+            pixels = pixels.reshape(b, r, r, 3)
+        kernel = _ConvKernel((p_sz, p_sz, pixels.shape[-1], cfg.vision_width),
+                             name="patch_embed")()
+        if from_uint8:
+            # CLIP normalization folded into the patch matmul: the uint8
+            # batch feeds the MXU directly (ops.patch_embed)
+            x = patch_embed_u8(pixels, kernel, dtype=self.dtype)
+        else:
+            # identical to nn.Conv(use_bias=False): VALID, stride = patch
+            x = jax.lax.conv_general_dilated(
+                pixels.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(p_sz, p_sz), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # [B, g, g, W]
+            x = x.reshape(b, cfg.grid_size**2, cfg.vision_width)
 
         class_embedding = self.param(
             "class_embedding", nn.initializers.normal(scale), (cfg.vision_width,)
@@ -181,7 +266,8 @@ class VisionTransformer(nn.Module):
         x = FP32LayerNorm(name="ln_pre")(x)
         x = Transformer(
             cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
-            self.dtype, self.attn_impl, name="transformer",
+            self.dtype, self.attn_impl, self.ln_matmul_impl,
+            name="transformer",
         )(x)
 
         if return_tokens:
@@ -198,6 +284,7 @@ class TextTransformer(nn.Module):
     config: ClipConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    ln_matmul_impl: str = "auto"
 
     @nn.compact
     def __call__(self, tokens, return_eot: bool = False, return_tokens: bool = False):
@@ -216,7 +303,7 @@ class TextTransformer(nn.Module):
 
         x = Transformer(
             cfg.transformer_width, cfg.transformer_layers, cfg.transformer_heads,
-            self.dtype, self.attn_impl, name="transformer",
+            self.dtype, self.attn_impl, self.ln_matmul_impl, name="transformer",
         )(x, causal=True)
         x = FP32LayerNorm(name="ln_final")(x)
 
@@ -240,10 +327,13 @@ class CLIP(nn.Module):
     config: ClipConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    ln_matmul_impl: str = "auto"
 
     def setup(self):
-        self.visual = VisionTransformer(self.config, self.dtype, self.attn_impl)
-        self.text = TextTransformer(self.config, self.dtype, self.attn_impl)
+        self.visual = VisionTransformer(self.config, self.dtype,
+                                        self.attn_impl, self.ln_matmul_impl)
+        self.text = TextTransformer(self.config, self.dtype,
+                                    self.attn_impl, self.ln_matmul_impl)
         self.logit_scale = self.param(
             "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.07), jnp.float32)
         )
@@ -254,6 +344,11 @@ class CLIP(nn.Module):
 
     def encode_image(self, pixels, return_tokens: bool = False):
         return self.visual(pixels, return_tokens=return_tokens)
+
+    def encode_image_u8(self, images_u8, return_tokens: bool = False):
+        """uint8 images: CLIP-normalization folded into the patch embed."""
+        return self.visual(images_u8, return_tokens=return_tokens,
+                           from_uint8=True)
 
     def encode_text(self, tokens, return_eot: bool = False, return_tokens: bool = False):
         return self.text(tokens, return_eot=return_eot, return_tokens=return_tokens)
@@ -277,12 +372,14 @@ class ClipResNetModel(nn.Module):
     text_config: ClipConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    ln_matmul_impl: str = "auto"
 
     def setup(self):
         from uml_tpu.models.clip_resnet import ModifiedResNet
 
         self.visual = ModifiedResNet(self.resnet_config, self.dtype)
-        self.text = TextTransformer(self.text_config, self.dtype, self.attn_impl)
+        self.text = TextTransformer(self.text_config, self.dtype,
+                                    self.attn_impl, self.ln_matmul_impl)
         self.logit_scale = self.param(
             "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.07), jnp.float32)
         )
@@ -297,6 +394,13 @@ class ClipResNetModel(nn.Module):
 
     def encode_image(self, pixels, return_tokens: bool = False):
         return self.visual(pixels, return_tokens=return_tokens)
+
+    def encode_image_u8(self, images_u8, return_tokens: bool = False):
+        """ResNet tower: no folding yet; normalize then encode."""
+        from uml_tpu.ops.image_norm import normalize_images
+
+        return self.visual(normalize_images(images_u8, self.dtype),
+                           return_tokens=return_tokens)
 
     def encode_text(self, tokens, return_eot: bool = False, return_tokens: bool = False):
         return self.text(tokens, return_eot=return_eot, return_tokens=return_tokens)
@@ -323,7 +427,8 @@ def clip_embed_dim(name: str) -> int:
     raise ValueError(f"Unknown CLIP encoder {name!r}")
 
 
-def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto"):
+def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
+               ln_matmul_impl: str = "auto"):
     if name in ("RN50", "RN101"):
         from uml_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
 
@@ -332,7 +437,9 @@ def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto"):
             embed_dim=rn.output_dim, image_resolution=rn.image_resolution,
             vision_layers=0, vision_width=rn.width, vision_patch_size=0,
             transformer_width=512, transformer_heads=8, transformer_layers=12)
-        return ClipResNetModel(rn, text_cfg, dtype=dtype, attn_impl=attn_impl)
+        return ClipResNetModel(rn, text_cfg, dtype=dtype, attn_impl=attn_impl,
+                               ln_matmul_impl=ln_matmul_impl)
     if name not in CLIP_CONFIGS:
         raise ValueError(f"Unknown CLIP encoder {name!r}; have {list(CLIP_CONFIGS)}")
-    return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl)
+    return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl,
+                ln_matmul_impl=ln_matmul_impl)

@@ -30,38 +30,55 @@ _NEG_INF = -1e30
 
 
 def mha_reference(q, k, v, *, causal: bool = False, mask=None):
-    """jnp attention. q,k,v: [B, H, S, D]; mask: additive [S, S] or None."""
+    """jnp attention. q,k,v: [B, H, S, D]; mask: additive [S, S] or None.
+
+    The [S, S] score tensor is stored in the INPUT dtype (953 MB/layer in
+    f32 at ViT-B/16 bs512 — the forward's single largest HBM stream, halved
+    in bf16), while the max-subtraction/exp/normalize math runs in fp32.
+    The reference torch CLIP runs nn.MultiheadAttention entirely in fp16
+    (model.py:171 under model.half()), so half-precision score storage with
+    fp32 softmax math is strictly *more* precise than the reference.
+    """
     d = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * (d**-0.5)
+    neg = jnp.asarray(-jnp.inf if q.dtype == jnp.bfloat16 else _NEG_INF,
+                      q.dtype)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=q.dtype) * jnp.asarray(
+                            d**-0.5, q.dtype)
     if causal:
         s = q.shape[2]
         causal_mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        scores = jnp.where(causal_mask, scores, _NEG_INF)
+        scores = jnp.where(causal_mask, scores, neg)
     if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
-    weights = jax.nn.softmax(scores, axis=-1)
+        scores = (scores.astype(jnp.float32)
+                  + mask.astype(jnp.float32)).astype(scores.dtype)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32))
+    weights = e / jnp.sum(e, axis=-1, keepdims=True)
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(q.dtype), v)
 
 
-def dense_attention_bshd(q, k, v, *, causal: bool = False,
-                         softmax_dtype=jnp.float32):
+def dense_attention_bshd(q, k, v, *, causal: bool = False):
     """Layout-preserving dense attention: q,k,v AND output are [B, S, H, D].
 
     The (b, h) axes stay where the packed-QKV reshape leaves them — XLA
-    folds them into dot_general batch dims, so no [B, S, 3HD] ->
-    [3, B, H, S, D] transpose is ever materialized.  Measured on v5e
-    (ViT-B/16, batch 512): the transpose-based path spends more HBM
-    bandwidth on layout churn than on attention math itself.
+    folds them into dot_general batch dims instead of materializing a
+    [B, S, 3HD] -> [3, B, H, S, D] transpose.  Same score-storage scheme
+    as mha_reference: scores kept in the input dtype, softmax math in fp32.
     """
     d = q.shape[-1]
+    neg = jnp.asarray(-jnp.inf if q.dtype == jnp.bfloat16 else _NEG_INF,
+                      q.dtype)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k,
-        preferred_element_type=softmax_dtype) * (d**-0.5)
+        preferred_element_type=q.dtype) * jnp.asarray(d**-0.5, q.dtype)
     if causal:
         s = q.shape[1]
         causal_mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        scores = jnp.where(causal_mask, scores, _NEG_INF)
-    weights = jax.nn.softmax(scores.astype(softmax_dtype), axis=-1)
+        scores = jnp.where(causal_mask, scores, neg)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32))
+    weights = e / jnp.sum(e, axis=-1, keepdims=True)
     return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(q.dtype), v)
 
 
