@@ -305,9 +305,13 @@ def main(args):
     args.use_clip = args.vision_model == "" and args.language_model == ""
     if args.use_clip:
         print("=> Using CLIP model")
+        from uml_tpu.core.meshes import mesh_from_flag
         from uml_tpu.models.encoders import ClipEncoder
 
-        encoder = ClipEncoder(args.clip_encoder,
+        mesh = mesh_from_flag(getattr(args, "mesh", "auto"))
+        if mesh is not None:
+            print(f"=> Data-parallel extraction over mesh {dict(mesh.shape)}")
+        encoder = ClipEncoder(args.clip_encoder, mesh=mesh,
                               allow_random_init=args.allow_random_init)
     else:
         print(f"=> Using {args.vision_model} for vision and "

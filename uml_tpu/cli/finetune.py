@@ -257,6 +257,7 @@ def setup(datasets, hparams, args):
         init_params=params,
         checkpointer=checkpointer,
         ckpt_every=getattr(args, "ckpt_every", 0) or None,
+        mesh=getattr(args, "mesh_obj", None),
     )
     if checkpointer is not None:
         checkpointer.close()
@@ -303,8 +304,12 @@ def sweep(datasets, hyperparams, args):
 
 def main(args):
     from uml_tpu.core.flags import apply_debug_flags
+    from uml_tpu.core.meshes import mesh_from_flag
 
     apply_debug_flags(args)
+    args.mesh_obj = mesh_from_flag(getattr(args, "mesh", "auto"))
+    if args.mesh_obj is not None:
+        print(f"=> Data-parallel training over mesh {dict(args.mesh_obj.shape)}")
     if args.seed >= 0:
         print(f"=> Setting fixed seed: {args.seed}")
         set_random_seed(args.seed)
@@ -345,7 +350,8 @@ def main(args):
         from uml_tpu.models.encoders import ClipEncoder
 
         encoder = ClipEncoder(args.clip_encoder,
-                              allow_random_init=args.allow_random_init)
+                              allow_random_init=args.allow_random_init,
+                              mesh=args.mesh_obj)
     else:
         from uml_tpu.cli.features import _HFEncoderAdapter
         from uml_tpu.models.dino import DINO_CONFIGS

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true")
     p.add_argument("--debug_nans", action="store_true", default=False,
                    help="enable jax.debug_nans (NaN-check mode)")
+    p.add_argument("--mesh", type=str, default="auto", choices=["auto", "off"],
+                   help="'auto': data-parallel UML steps over all visible "
+                        "devices; 'off': single-device dispatch")
     p.add_argument("--run_name", type=str, default="")
     p.add_argument("--results_dir", type=str, default="./results")
     p.add_argument("--log_dir", type=str, default="./logs")
@@ -183,8 +186,12 @@ def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
 
 def main(args):
     from uml_tpu.core.flags import apply_debug_flags
+    from uml_tpu.core.meshes import mesh_from_flag
 
     apply_debug_flags(args)
+    mesh = mesh_from_flag(getattr(args, "mesh", "auto"))
+    if mesh is not None:
+        print(f"=> Data-parallel UML steps over mesh {dict(mesh.shape)}")
     cfg = DATASET_CONFIG[args.ds_name]
     batch_size = cfg["batch_size"]
     indims = cfg["indims"]
@@ -240,7 +247,8 @@ def main(args):
             mode=args.modality, num_epochs=args.num_epochs,
             step_k=args.step_k, alpha_x=args.alpha_x, alpha_y=args.alpha_y,
             ds_name=args.ds_name, eval_freq=args.eval_freq,
-            augment=args.augment, logger=logger, checkpointer=checkpointer)
+            augment=args.augment, logger=logger, checkpointer=checkpointer,
+            mesh=mesh)
         if checkpointer is not None:
             checkpointer.close()
 

@@ -125,6 +125,12 @@ def build_shared_parser() -> argparse.ArgumentParser:
                         "build deliberately deviates (e.g. finetune.py:338 "
                         "freezes the backbone ONLY for hyperparams='linear', "
                         "so 'clip_linear' trains the whole tower)")
+    p.add_argument("--mesh", type=str, default="auto",
+                   choices=["auto", "off"],
+                   help="'auto': when >1 device is visible, run jitted "
+                        "steps data-parallel over a device mesh (batch "
+                        "sharded on ICI, params replicated); 'off': "
+                        "single-device dispatch")
     p.add_argument("--debug_nans", action="store_true", default=False,
                    help="enable jax.debug_nans: every jitted step re-checks "
                         "outputs for NaN and raises at the producing op "

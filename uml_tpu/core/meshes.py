@@ -53,3 +53,32 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def maybe_shard_batch(mesh: Mesh | None, tree):
+    """Shard each leaf's batch dim over 'data' when divisible, else
+    replicate; identity when mesh is None.  Safe for ragged final batches
+    and scalar aux inputs."""
+    if mesh is None:
+        return tree
+    n = mesh.shape[DATA_AXIS]
+    data = data_sharding(mesh)
+    repl = replicated_sharding(mesh)
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, data)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, tree)
+
+
+def mesh_from_flag(mesh_flag: str = "auto") -> Mesh | None:
+    """CLI entry: 'auto' -> data-parallel mesh over every device when more
+    than one is present; 'off' -> None (single-device dispatch)."""
+    if mesh_flag == "off":
+        return None
+    if len(jax.devices()) <= 1:
+        return None
+    return create_mesh()

@@ -57,28 +57,37 @@ def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False):
 
 
 class ClipEncoder:
-    """Jitted image/text encoding over a CLIP model (frozen weights)."""
+    """Jitted image/text encoding over a CLIP model (frozen weights).
+
+    ``mesh``: optional jax.sharding.Mesh — image/text batches are sharded
+    over the 'data' axis and the forward runs data-parallel (the reference
+    is single-GPU, finetune.py:465; here extraction scales over ICI).
+    """
 
     def __init__(self, name: str, dtype=jnp.bfloat16,
-                 allow_random_init: bool = False):
+                 allow_random_init: bool = False, mesh=None):
         self.name = name
         self.model, self.variables = load_clip(name, dtype, allow_random_init)
         self.embed_dim = self.model.config.embed_dim
         self._dtype = dtype
+        self.mesh = mesh
+        if mesh is not None:
+            from uml_tpu.core.meshes import replicate
+
+            self.variables = replicate(mesh, self.variables)
 
         model = self.model
 
         @jax.jit
         def _enc_img(v, u8):
-            pixels = normalize_images(u8, dtype)
-            return model.apply(v, pixels, method=lambda m, x: m.encode_image(x))
+            # normalization folded into the patch embedding (ops.patch_embed)
+            return model.apply(v, u8, method=lambda m, x: m.encode_image_u8(x))
 
         @jax.jit
         def _enc_img_tokens(v, u8):
-            pixels = normalize_images(u8, dtype)
             return model.apply(
-                v, pixels,
-                method=lambda m, x: m.encode_image(x, return_tokens=True))
+                v, u8,
+                method=lambda m, x: m.encode_image_u8(x, return_tokens=True))
 
         @jax.jit
         def _enc_txt(v, toks):
@@ -107,14 +116,21 @@ class ClipEncoder:
                 [imgs_uint8,
                  np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
         fn = self._enc_img_tokens if return_tokens else self._enc_img
-        out = np.asarray(fn(self.variables, jnp.asarray(imgs_uint8)),
-                         dtype=np.float32)
+        from uml_tpu.core.meshes import maybe_shard_batch
+
+        # transfer flat: [B, H, W, 3] uint8 pads the 3-lane dim 42x on TPU
+        flat = imgs_uint8.reshape(imgs_uint8.shape[0], -1)
+        batch = maybe_shard_batch(self.mesh, jnp.asarray(flat))
+        out = np.asarray(fn(self.variables, batch), dtype=np.float32)
         return out[:n]
 
     def encode_texts(self, texts: list[str], return_tokens: bool = False):
         """list[str] -> (features [N,D] | tokens [N,77,W], eot_indices [N])."""
         toks = tokenize(texts)
         fn = self._enc_txt_tokens if return_tokens else self._enc_txt
-        out, eot = fn(self.variables, jnp.asarray(toks))
+        from uml_tpu.core.meshes import maybe_shard_batch
+
+        toks = maybe_shard_batch(self.mesh, jnp.asarray(toks))
+        out, eot = fn(self.variables, toks)
         return (np.asarray(out, np.float32),
                 np.asarray(eot, np.int64))

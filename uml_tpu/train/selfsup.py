@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from uml_tpu.core.meshes import maybe_shard_batch, replicate
 from uml_tpu.data.affect import map_labels
 from uml_tpu.metrics.alignment import cka as cka_fn, mutual_knn as mknn_fn
 from uml_tpu.metrics.alignment import compute_effective_rank
@@ -249,6 +250,7 @@ def train_selfsup(
     augment: bool = False,
     logger=None,
     checkpointer=None,            # core.checkpoint.TrainCheckpointer
+    mesh=None,                    # jax.sharding.Mesh: data-parallel step
 ):
     # peek shapes from one batch of each stream
     d1, l1, _ = next(iter(stream_1()))
@@ -256,6 +258,10 @@ def train_selfsup(
     x_shape = d1["x"].shape
     y_shape = d2["y"].shape
     variables, opt_state = trainer.init(x_shape, y_shape)
+    if mesh is not None:
+        # data parallel: state replicated, batches sharded over 'data'
+        variables = replicate(mesh, variables)
+        opt_state = replicate(mesh, opt_state)
 
     cap = None
     if capture:
@@ -319,6 +325,9 @@ def train_selfsup(
             print(f"=> Resuming from checkpoint at epoch {state['epoch']}")
             variables = jax.tree.map(jnp.asarray, state["variables"])
             opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+            if mesh is not None:
+                variables = replicate(mesh, variables)
+                opt_state = replicate(mesh, opt_state)
             start_epoch = int(state["epoch"])
             # fast-forward the shuffle streams AND the dropout rng so the
             # resumed run replays the identical batch/key sequence
@@ -347,10 +356,11 @@ def train_selfsup(
                     % (2**31))
                 x_in = augment_single(x_in, aug_rng)
             rng, key = jax.random.split(rng)
+            batch = maybe_shard_batch(
+                mesh, (jnp.asarray(x_in), jnp.asarray(db["y"]),
+                       jnp.asarray(la["x"]), jnp.asarray(lb["y"])))
             variables, opt_state, metrics = trainer.train_step(
-                variables, opt_state,
-                jnp.asarray(x_in), jnp.asarray(db["y"]),
-                jnp.asarray(la["x"]), jnp.asarray(lb["y"]),
+                variables, opt_state, *batch,
                 jnp.float32(ax), jnp.float32(alpha_y), key, mode=mode)
             if logger is not None:
                 if gt_eff_rank_y is not None:

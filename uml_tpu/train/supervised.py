@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from uml_tpu.core.meshes import maybe_shard_batch, replicate
 from uml_tpu.metrics.alignment import cka as cka_fn, mutual_knn as mknn_fn
 from uml_tpu.models.uml_head import UMLHead
 
@@ -100,7 +101,7 @@ def _weighted_ce(logits, labels, weights):
     return jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
-def make_validate(model: UMLHead, batch_size: int):
+def make_validate(model: UMLHead, batch_size: int, mesh=None):
     @jax.jit
     def _batch(params, inputs, labels, weights):
         logits, _ = model.forward(params, inputs)
@@ -111,6 +112,8 @@ def make_validate(model: UMLHead, batch_size: int):
     def validate(params, batches):
         losses, correct, total = [], 0.0, 0.0
         for inputs, labels, weights in batches:
+            inputs, labels, weights = maybe_shard_batch(
+                mesh, (inputs, labels, weights))
             l, c, t = _batch(params, jnp.asarray(inputs), jnp.asarray(labels),
                              jnp.asarray(weights))
             losses.append(float(l))
@@ -140,10 +143,16 @@ def train(
     init_params: dict | None = None,
     checkpointer=None,             # core.checkpoint.TrainCheckpointer
     ckpt_every: int | None = None,
+    mesh=None,                     # jax.sharding.Mesh: data-parallel step
 ):
     assert image_stream is not None or text_stream is not None
     params = init_params if init_params is not None else model.init_params()
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        # data parallel: params/opt replicated, batches sharded over 'data';
+        # XLA inserts the gradient psum from the sharding annotations
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
 
     has_image = image_stream is not None
     has_text = text_stream is not None
@@ -228,7 +237,8 @@ def train(
                 class_means[:n_common], cap_txt[:n_common], "ip")
         return params, opt_state, loss, metrics
 
-    validate = validate_fn or make_validate(model, len(val_batches[0][1]))
+    validate = validate_fn or make_validate(model, len(val_batches[0][1]),
+                                             mesh=mesh)
 
     cap_img = (jnp.asarray(capture["image_feats"]) if capture_on
                else jnp.zeros((1, 1)))
@@ -263,6 +273,9 @@ def train(
             print(f"=> Resuming from checkpoint at iter {state['iter']}")
             params = jax.tree.map(jnp.asarray, state["params"])
             opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+            if mesh is not None:
+                params = replicate(mesh, params)
+                opt_state = replicate(mesh, opt_state)
             start_iter = int(state["iter"])
             no_improve = int(state["no_improve"])
             if state["best_iter"] >= 0:
@@ -289,9 +302,16 @@ def train(
             "no_improve": no_improve,
         })
 
+    if mesh is not None:
+        cap_img, cap_txt, cap_lab = replicate(mesh, (cap_img, cap_txt, cap_lab))
+        zero_img = replicate(mesh, zero_img)
+        zero_txt = replicate(mesh, zero_txt)
+
     for i in range(start_iter, max_iters):
-        img_b = tuple(map(jnp.asarray, next(image_iter))) if has_image else zero_img
-        txt_b = tuple(map(jnp.asarray, next(text_iter))) if has_text else zero_txt
+        img_b = (maybe_shard_batch(mesh, tuple(map(jnp.asarray, next(image_iter))))
+                 if has_image else zero_img)
+        txt_b = (maybe_shard_batch(mesh, tuple(map(jnp.asarray, next(text_iter))))
+                 if has_text else zero_txt)
         params, opt_state, loss, metrics = step(
             params, opt_state, *img_b, *txt_b, cap_img, cap_txt, cap_lab)
 
