@@ -1,0 +1,141 @@
+"""LLaMA-architecture text encoder: HF parity + tensor parallelism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uml_tpu.models.llama import (
+    LLAMA_TP_RULES,
+    LlamaConfig,
+    LlamaEncoder,
+    port_hf_llama,
+)
+
+TINY = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=112,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2)
+
+
+def _tokens(rng, b=3, s=11, vocab=128):
+    ids = rng.integers(1, vocab, (b, s)).astype(np.int32)
+    mask = np.ones((b, s), np.int32)
+    mask[1, 7:] = 0   # padded row
+    ids[1, 7:] = 0
+    return ids, mask
+
+
+def test_matches_hf_torch():
+    """Port a tiny random HF LlamaModel; hidden states must match."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaModel
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = LlamaModel(hf_cfg).eval()
+
+    cfg = LlamaConfig.from_hf(hf_cfg)
+    model = LlamaEncoder(cfg)
+    params = port_hf_llama(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(0)
+    ids, mask = _tokens(rng)
+    with torch.no_grad():
+        want = hf(input_ids=torch.from_numpy(ids).long(),
+                  attention_mask=torch.from_numpy(mask).long()
+                  ).last_hidden_state.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids),
+                                 jnp.asarray(mask)))
+    # padded positions: HF computes garbage there, we don't pool them
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want[valid], atol=2e-4, rtol=2e-4)
+
+
+def test_tp_sharded_matches_unsharded():
+    """TP over the 'model' axis: identical pooled embeddings (VERDICT #6)."""
+    from uml_tpu.core.meshes import create_mesh
+    from uml_tpu.parallel import apply_tp_sharding
+
+    model = LlamaEncoder(TINY)
+    rng = np.random.default_rng(1)
+    ids, mask = _tokens(rng)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(ids),
+                                 jnp.asarray(mask))
+
+    def pooled(p, ids, mask):
+        hidden = model.apply(p, ids, mask)
+        m = mask[..., None].astype(hidden.dtype)
+        return (hidden * m).sum(1) / m.sum(1)
+
+    base = jax.jit(pooled)(params, jnp.asarray(ids), jnp.asarray(mask))
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    sharded = apply_tp_sharding(params, mesh, rules=LLAMA_TP_RULES)
+    # verify the rules actually shard the block matmuls over 'model'
+    q_sh = sharded["params"]["layers_0"]["q_proj"]["kernel"].sharding
+    dn_sh = sharded["params"]["layers_0"]["down_proj"]["kernel"].sharding
+    assert "model" in str(q_sh.spec) and "model" in str(dn_sh.spec)
+    with mesh:
+        tp = jax.jit(pooled)(sharded, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(tp),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_textmodel_native_backend_matches_torch(tmp_path):
+    """TextModel 'native' backend (in-house LlamaEncoder) pools identically
+    to the HF torch backend on a locally-saved tiny checkpoint."""
+    torch = pytest.importorskip("torch")
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaModel, PreTrainedTokenizerFast
+
+    d = str(tmp_path / "tiny-llama")
+    hf_cfg = HFConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=56,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(1)
+    LlamaModel(hf_cfg).save_pretrained(d)
+
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for i, w in enumerate(["a", "photo", "of", "cat", "dog", "the"]):
+        vocab[w] = 3 + i
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>").save_pretrained(d)
+
+    from uml_tpu.models.languagemodel import TextModel
+
+    texts = ["a photo of cat", "the dog"]
+    native = TextModel(d, backend="native")
+    assert native.backend == "native"
+    feats_native, idx = native.encode(texts)
+
+    ref = TextModel(d, backend="torch")
+    feats_torch, _ = ref.encode(texts)
+    np.testing.assert_allclose(feats_native, feats_torch,
+                               atol=2e-4, rtol=2e-4)
+    assert feats_native.shape == (2, 32)
+
+
+def test_gqa_repeat_and_padding_invariance():
+    model = LlamaEncoder(TINY)
+    rng = np.random.default_rng(2)
+    ids, mask = _tokens(rng)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(ids),
+                                 jnp.asarray(mask))
+    out = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    # mutate padded tokens: valid positions must not change
+    ids2 = ids.copy()
+    ids2[1, 7:] = 5
+    out2 = model.apply(params, jnp.asarray(ids2), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out[1, :7]), np.asarray(out2[1, :7]),
+                               atol=1e-5)

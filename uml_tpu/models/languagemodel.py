@@ -43,20 +43,71 @@ def model_family(model_name: str) -> str:
 
 
 class TextModel:
-    """Tokenizer + model + pooling, backend-agnostic (flax preferred)."""
+    """Tokenizer + model + pooling, backend-agnostic.
 
-    def __init__(self, model_name: str, backend: str = "auto"):
+    Backends, in ``auto`` preference order:
+      * ``native``: the in-house TPU LlamaEncoder (LLaMA/Mistral families
+        only) — jitted, bf16-capable, and tensor-parallel over a mesh's
+        'model' axis (pass ``mesh``); this is the §2.4 large-text-encoder
+        path the reference runs single-GPU (languagemodel.py:72-73)
+      * ``flax``: HF Flax port (jitted, unsharded)
+      * ``torch``: HF torch on CPU (last resort)
+    """
+
+    def __init__(self, model_name: str, backend: str = "auto", mesh=None,
+                 dtype=jnp.float32):
         from transformers import AutoTokenizer
 
         self.model_name = MODEL_ALIASES.get(model_name, model_name)
         self.model_type = model_family(self.model_name)
+        self.mesh = mesh
+        self.dtype = dtype
         self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
         if self.model_type == "decoder" and self.tokenizer.pad_token is None:
             self.tokenizer.pad_token = self.tokenizer.eos_token
 
         self.backend = self._load_model(backend)
 
+    def _is_llama_family(self) -> bool:
+        name = self.model_name.lower()
+        return any(k in name for k in ("llama", "mistral"))
+
+    def _load_native(self):
+        """Local HF checkpoint -> in-house LlamaEncoder (+ optional TP)."""
+        from transformers import AutoConfig, AutoModel
+
+        from uml_tpu.models.llama import (
+            LLAMA_TP_RULES,
+            LlamaConfig,
+            LlamaEncoder,
+            port_hf_llama,
+        )
+
+        hf_cfg = AutoConfig.from_pretrained(self.model_name)
+        cfg = LlamaConfig.from_hf(hf_cfg)
+        hf = AutoModel.from_pretrained(self.model_name)
+        self.model = LlamaEncoder(cfg, dtype=self.dtype)
+        self._params = port_hf_llama(hf.state_dict(), cfg, dtype=self.dtype)
+        del hf
+        self._config = hf_cfg
+        if self.mesh is not None:
+            from uml_tpu.parallel import apply_tp_sharding
+
+            self._params = apply_tp_sharding(self._params, self.mesh,
+                                             rules=LLAMA_TP_RULES)
+
     def _load_model(self, backend: str) -> str:
+        if backend in ("auto", "native") and self._is_llama_family():
+            try:
+                self._load_native()
+                print(f"=> Native TPU LlamaEncoder for {self.model_name}"
+                      + (f" (TP over {dict(self.mesh.shape)})"
+                         if self.mesh is not None else ""))
+                return "native"
+            except Exception as e:
+                if backend == "native":
+                    raise
+                print(f"=> No native path for {self.model_name} ({e})")
         if backend in ("auto", "flax"):
             try:
                 from transformers import FlaxAutoModel
@@ -75,9 +126,30 @@ class TextModel:
 
     @property
     def hidden_size(self) -> int:
+        if self.backend == "native":
+            return self._config.hidden_size
         return self.model.config.hidden_size
 
     def _last_hidden(self, input_ids: np.ndarray, attention_mask: np.ndarray):
+        if self.backend == "native":
+            if not hasattr(self, "_jitted"):
+                import jax
+
+                self._jitted = jax.jit(
+                    lambda p, ids, mask: self.model.apply(p, ids, mask))
+            if self.mesh is not None:
+                from uml_tpu.core.meshes import maybe_shard_batch
+
+                input_ids, attention_mask = maybe_shard_batch(
+                    self.mesh, (jnp.asarray(input_ids),
+                                jnp.asarray(attention_mask)))
+                with self.mesh:
+                    out = self._jitted(self._params, input_ids,
+                                       attention_mask)
+            else:
+                out = self._jitted(self._params, jnp.asarray(input_ids),
+                                   jnp.asarray(attention_mask))
+            return np.asarray(out, np.float32)
         if self.backend == "flax":
             if not hasattr(self, "_jitted"):
                 import jax
