@@ -65,11 +65,15 @@ def train_gaussian(
     chunk: int = 100,
     eval_metrics: bool = True,
     logger=None,
+    stream=None,           # override the index stream (e.g. parity harness
+                           # replaying the reference DataLoader's batches)
+    init_params=None,      # override the random init (ported torch weights)
 ) -> GaussianTrainResult:
     if mode not in ("xy", "x"):
         raise ValueError(f"mode must be 'xy' or 'x', got {mode!r}")
 
-    params = model.init(jax.random.key(seed), x=val_x[:1], y=val_y[:1])
+    params = (init_params if init_params is not None
+              else model.init(jax.random.key(seed), x=val_x[:1], y=val_y[:1]))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
@@ -111,9 +115,10 @@ def train_gaussian(
         (p, o), metrics = jax.lax.scan(step, (p, o), (idx_x, idx_y))
         return p, o, metrics
 
-    stream = UnpairedIndexStream(
-        pool_x.shape[0], pool_y.shape[0], batch_size, seed=loader_seed
-    )
+    if stream is None:
+        stream = UnpairedIndexStream(
+            pool_x.shape[0], pool_y.shape[0], batch_size, seed=loader_seed
+        )
 
     history: dict[str, list] = {}
     for idx_x, idx_y in stream.batch_chunks(num_steps, chunk):
