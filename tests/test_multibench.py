@@ -359,6 +359,55 @@ def test_selfsup_resume_past_completion(affect_pickle, tmp_path):
         assert resumed[k] == first[k], (k, resumed[k], first[k])
 
 
+def test_robust_evaluate_text_curves(affect_pickle):
+    """--robust_test with raw sentences: text-modality degradation curves
+    appear (VERDICT #7; reference affect get_data.py:332-347)."""
+    from uml_tpu.cli.multibench import _affect_streams, robust_evaluate
+    from uml_tpu.train.selfsup import SelfSupTrainer, train_selfsup
+
+    splits = load_affect(affect_pickle)
+    # text arrays are 10-dim in the fixture; raw sentences per retained row
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = np.random.default_rng(0)
+    raw_text = [" ".join(rng.choice(words, size=6)) for _ in
+                range(len(splits["test"]))]
+
+    s1, s2, evals = _affect_streams(splits, None, 16)
+    model = make_seq_uml(6, 10, 10)
+    trainer = SelfSupTrainer(model, lr=1e-3, seed=0)
+    variables, _, _ = train_selfsup(
+        trainer, s1, s2, evals, mode="xy", num_epochs=1,
+        ds_name="mosi", eval_freq=1000, capture=False)
+
+    curves = robust_evaluate(trainer, variables, splits, 16, "mosi",
+                             levels=3, raw_text=raw_text)
+    assert set(curves) == {"vision", "timeseries", "text"}
+    assert len(curves["text"]) == 3
+    for entry in curves["text"]:
+        for k in ("test/score_x", "test/score_y", "test/score_xy"):
+            assert 0.0 <= entry[k] <= 1.0
+
+
+def test_hash_vocab_embedder_glove_semantics():
+    from uml_tpu.data.text_embed import HashVocabEmbedder, WordVectorEmbedder
+
+    emb = HashVocabEmbedder(["the cat sat", "a dog ran"], dim=16)
+    out = emb(["the cat", "xqzt cat"], max_len=4)
+    assert out.shape == (2, 4, 16)
+    # deterministic per word
+    np.testing.assert_array_equal(out[0, 1], out[1, 1])
+    # OOV (typo) -> zeros, like GloVe lookups in the reference
+    assert np.all(out[1, 0] == 0.0)
+    assert np.any(out[0, 0] != 0.0)
+    # padding rows zero
+    assert np.all(out[:, 2:] == 0.0) or np.all(out[0, 2] == 0.0)
+
+    wv = WordVectorEmbedder({"cat": np.ones(4, np.float32)})
+    o = wv(["cat dog"], max_len=3)
+    np.testing.assert_array_equal(o[0, 0], np.ones(4))
+    assert np.all(o[0, 1] == 0.0)
+
+
 def test_make_robust_tests_levels(affect_pickle):
     from uml_tpu.data.affect import make_robust_tests
 

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="epoch-level orbax checkpointing (0 = off); "
                         "restarted runs resume from the latest epoch")
+    p.add_argument("--raw_text_file", type=str, default="",
+                   help="one raw sentence per retained test row (or a JSON "
+                        "list): enables the text-modality robust_test "
+                        "degradation curves (re-embedded per noise level "
+                        "via $UML_GLOVE_PATH or the hash-vocab fallback)")
     p.add_argument("--robust_test", action="store_true",
                    help="after training, probe-evaluate across 10 noise "
                         "levels per modality (affect get_data.py:326-410)")
@@ -122,7 +127,7 @@ def _mimic_streams(splits, batch_size):
 
 
 def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
-                    levels=10):
+                    levels=10, raw_text=None):
     """Degradation curves: test-split probes under per-modality noise.
 
     Mirrors the reference's robust_test loaders (vision/audio/all-timeseries
@@ -181,6 +186,42 @@ def robust_evaluate(trainer, variables, splits, batch_size, ds_name,
             print(f"[robust {modality} level {level}] "
                   f"score_xy={entry['test/score_xy']:.4f}")
         curves[modality] = curve
+
+    if raw_text is not None:
+        # text-modality degradation (get_data.py:332-347): typo-corrupt the
+        # raw sentences per level and re-embed.  Zero-egress: $UML_GLOVE_PATH
+        # when present, else the deterministic hash-vocabulary embedder with
+        # GloVe OOV->zeros semantics (data/text_embed.py).
+        from uml_tpu.data.robustness import add_text_noise
+        from uml_tpu.data.text_embed import default_text_embedder
+
+        assert len(raw_text) == len(splits["test"]), (
+            f"raw_text must have one sentence per retained test row "
+            f"({len(raw_text)} vs {len(splits['test'])})")
+        t_max = splits["test"].arrays["text"].shape[1]
+        dim = splits["test"].arrays["text"].shape[-1]
+        embedder = default_text_embedder(raw_text, dim=dim)
+        rng = np.random.RandomState(0)
+        curve = []
+        for level in range(levels):
+            noisy = add_text_noise(raw_text, level / 10, rng=rng)
+            test = copy.copy(splits["test"])
+            test.arrays = dict(splits["test"].arrays)
+            test.lengths = dict(splits["test"].lengths)
+            test.arrays["text"] = embedder(noisy, t_max)
+            test.lengths["text"] = np.clip(
+                [len(s.split()) for s in noisy], 1, t_max).astype(np.int32)
+            te_zx, te_zy, te_lab = embed(test)
+            entry = {
+                "test/score_x": clfs["x"].score(te_zx, te_lab),
+                "test/score_y": clfs["y"].score(te_zy, te_lab),
+                "test/score_xy": clfs["xy"].score(
+                    np.concatenate([te_zx, te_zy], axis=1), te_lab),
+            }
+            curve.append(entry)
+            print(f"[robust text level {level}] "
+                  f"score_xy={entry['test/score_xy']:.4f}")
+        curves["text"] = curve
     return curves
 
 
@@ -268,8 +309,16 @@ def main(args):
             save_cache({k: np.stack(v) for k, v in embeddings.items()},
                        os.path.join(seed_dir, "embeddings.pth"))
         if args.robust_test and args.ds_name != "mimic":
+            raw_text = None
+            if getattr(args, "raw_text_file", ""):
+                import json
+
+                with open(args.raw_text_file) as f:
+                    head = f.read()
+                raw_text = (json.loads(head) if head.lstrip().startswith("[")
+                            else [ln for ln in head.splitlines() if ln.strip()])
             curves = robust_evaluate(trainer, variables, splits, batch_size,
-                                     args.ds_name)
+                                     args.ds_name, raw_text=raw_text)
             save_cache(curves, os.path.join(seed_dir, "robustness.pth"))
         if hasattr(logger, "finish"):
             logger.finish()

@@ -64,6 +64,80 @@ def embed_texts(texts, model_name="bert-base-uncased", contextual=False,
     return out
 
 
+def load_word_vectors(path: str) -> dict:
+    """Local GloVe-format text file: 'word v1 v2 ...' per line."""
+    vecs = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip().split(" ")
+            if len(parts) < 3:
+                continue
+            vecs[parts[0]] = np.asarray(parts[1:], dtype=np.float32)
+    return vecs
+
+
+class WordVectorEmbedder:
+    """Static word-vector lookup; OOV words embed to zeros — the exact
+    GloVe semantics of the reference robust_test path
+    (affect get_data.py:300-347)."""
+
+    def __init__(self, vectors: dict):
+        self.vectors = vectors
+        self.dim = len(next(iter(vectors.values())))
+
+    def __call__(self, texts, max_len: int) -> np.ndarray:
+        out = np.zeros((len(texts), max_len, self.dim), np.float32)
+        for i, s in enumerate(texts):
+            for j, w in enumerate(s.split()[:max_len]):
+                vec = self.vectors.get(w)
+                if vec is not None:
+                    out[i, j] = vec
+        return out
+
+
+class HashVocabEmbedder:
+    """Deterministic zero-egress stand-in for GloVe: every word of the
+    CLEAN vocabulary gets a fixed unit-variance vector seeded from
+    blake2(word); out-of-vocabulary words (typo-corrupted by the noise
+    model) embed to zeros, exactly like GloVe OOV lookups — so the
+    degradation curves have the reference's shape without any downloaded
+    vector file."""
+
+    def __init__(self, clean_texts, dim: int = 300):
+        import hashlib
+
+        self.dim = dim
+        self.vectors = {}
+        for s in clean_texts:
+            for w in s.split():
+                if w in self.vectors:
+                    continue
+                h = hashlib.blake2b(w.encode("utf-8"), digest_size=8)
+                rng = np.random.default_rng(
+                    int.from_bytes(h.digest(), "little"))
+                self.vectors[w] = rng.standard_normal(dim).astype(np.float32)
+
+    def __call__(self, texts, max_len: int) -> np.ndarray:
+        out = np.zeros((len(texts), max_len, self.dim), np.float32)
+        for i, s in enumerate(texts):
+            for j, w in enumerate(s.split()[:max_len]):
+                vec = self.vectors.get(w)
+                if vec is not None:
+                    out[i, j] = vec
+        return out
+
+
+def default_text_embedder(clean_texts, dim: int = 300):
+    """$UML_GLOVE_PATH-backed GloVe when available, else the deterministic
+    hash-vocabulary fallback (no egress required either way)."""
+    import os
+
+    path = os.environ.get("UML_GLOVE_PATH", "")
+    if path and os.path.exists(path):
+        return WordVectorEmbedder(load_word_vectors(path))
+    return HashVocabEmbedder(clean_texts, dim=dim)
+
+
 def reembed_noisy_text(raw_sentences, noise_levels=10, model_name=None,
                        embed_fn=None, max_len=50, seed=0):
     """Noisy-text robustness arrays: for each level l/10, typo-corrupt the
