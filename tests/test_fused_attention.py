@@ -1,0 +1,73 @@
+"""Fused LN->QKV->attention kernel (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uml_tpu.ops.fused_attention import (
+    _fwd,
+    ln_qkv_attention,
+    ln_qkv_attention_reference,
+    supports_fused_attention,
+)
+
+
+def _setup(rng, s=17, k=128, heads=2, d=64):
+    x = jnp.asarray(rng.standard_normal((3, s, k)), jnp.float32)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((k, 3 * heads * d)) / np.sqrt(k),
+                         jnp.float32)
+    kbias = jnp.asarray(0.1 * rng.standard_normal(3 * heads * d), jnp.float32)
+    return x, scale, bias, kernel, kbias
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("heads", [2, 4])
+def test_kernel_matches_reference(causal, heads):
+    rng = np.random.default_rng(0)
+    d = 64
+    x, scale, bias, kernel, kbias = _setup(rng, heads=heads, d=d)
+    got = _fwd(x, scale, bias, kernel, kbias, 1e-5, heads, d, causal, True)
+    want = ln_qkv_attention_reference(x, scale, bias, kernel, kbias,
+                                      heads=heads, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_head_pair_isolation():
+    """A change confined to one head's weights must not leak into the other
+    head of the same 128-lane pair (the masked-dot trick is exact)."""
+    rng = np.random.default_rng(1)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, heads=heads, d=d)
+    base = _fwd(x, scale, bias, kernel, kbias, 1e-5, heads, d, False, True)
+    # perturb only head 1's value projection (lanes [2*128+64 : 2*128+128))
+    k2 = kernel.at[:, 2 * heads * d + d:].add(1.0)
+    out = _fwd(x, scale, bias, k2, kbias, 1e-5, heads, d, False, True)
+    np.testing.assert_allclose(np.asarray(base[..., :d]),
+                               np.asarray(out[..., :d]), atol=1e-6)
+    assert not np.allclose(np.asarray(base[..., d:]), np.asarray(out[..., d:]))
+
+
+def test_grads_flow_through_custom_vjp():
+    rng = np.random.default_rng(2)
+    x, scale, bias, kernel, kbias = _setup(rng)
+
+    def loss(x, kernel):
+        out = ln_qkv_attention(x, scale, bias, kernel, kbias, heads=2)
+        return out.sum()
+
+    gx, gk = jax.grad(loss, argnums=(0, 1))(x, kernel)
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gk)).all()
+    assert float(jnp.abs(gk).sum()) > 0
+
+
+def test_supports_gate():
+    assert supports_fused_attention(768, 12, 64, 197)   # ViT-B/16
+    assert supports_fused_attention(512, 8, 64, 77)     # CLIP text
+    assert not supports_fused_attention(768, 12, 192, 197)  # head too wide
+    assert not supports_fused_attention(768, 11, 64, 197)   # odd head count
+    assert not supports_fused_attention(60, 5, 12, 50)  # MultiBench dims

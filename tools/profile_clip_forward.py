@@ -11,7 +11,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.models.clip import build_clip
-from uml_tpu.ops import normalize_images
 from uml_tpu.utils.profiling import trace_and_summarize
 
 BATCH = 512
@@ -28,13 +27,12 @@ def main():
     )
     imgs = jax.device_put(jnp.asarray(
         np.random.default_rng(0).integers(
-            0, 256, (BATCH, 224, 224, 3), dtype=np.uint8)
+            0, 256, (BATCH, 224 * 224 * 3), dtype=np.uint8)
     ))
 
     @jax.jit
     def extract_sum(v, u8):
-        feats = model.apply(v, normalize_images(u8, jnp.bfloat16),
-                            method=lambda m, x: m.encode_image(x))
+        feats = model.apply(v, u8, method=lambda m, x: m.encode_image_u8(x))
         return feats.sum()
 
     float(extract_sum(variables, imgs))  # compile

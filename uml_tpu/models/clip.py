@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.ops.attention import dense_attention_bshd, multi_head_attention
+from uml_tpu.ops.fused_attention import ln_qkv_attention
 from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul
 from uml_tpu.ops.patch_embed import patch_embed_u8
 
@@ -158,12 +159,32 @@ class ResidualAttentionBlock(nn.Module):
         h = self.heads
         d = self.width // h
 
-        # pre-LN fused into the QKV matmul (ops.ln_matmul): one HBM read of
-        # the residual stream instead of a standalone convert+reduce pass.
-        # Param tree is identical to FP32LayerNorm + nn.Dense.
+        # pre-LN fused into the QKV matmul (ops.ln_matmul / the full
+        # ops.fused_attention chain): one HBM read of the residual stream
+        # instead of a standalone convert+reduce pass.  Param tree is
+        # identical to FP32LayerNorm + nn.Dense.
         ln1_scale, ln1_bias = FP32LayerNorm(name="ln_1")(x, return_params=True)
         qkv_kernel, qkv_bias = _DenseKernelBias(
             self.width, 3 * self.width, name="qkv")()
+        if self.attn_impl in ("auto", "fused") and self.ln_matmul_impl != "reference":
+            # whole pre-attention chain in one kernel when supported: LN,
+            # QKV matmul, and per-head attention run VMEM-resident (the
+            # packed qkv and the [S,S] scores never exist in HBM)
+            attn = ln_qkv_attention(
+                x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
+                qkv_bias, heads=h, causal=causal, impl=self.ln_matmul_impl)
+            delta = nn.Dense(self.width, dtype=self.dtype,
+                             name="out_proj")(attn)
+            ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
+                x, return_params=True)
+            fc_kernel, fc_bias = _DenseKernelBias(
+                self.width, 4 * self.width, name="c_fc")()
+            x, y = add_ln_matmul(x, delta, ln2_scale, ln2_bias,
+                                 fc_kernel.astype(self.dtype), fc_bias,
+                                 gelu=True, impl=self.ln_matmul_impl)
+            return x + nn.Dense(self.width, dtype=self.dtype,
+                                name="c_proj")(y)
+
         qkv = ln_matmul(x, ln1_scale, ln1_bias,
                         qkv_kernel.astype(self.dtype), qkv_bias,
                         impl=self.ln_matmul_impl)

@@ -1,0 +1,188 @@
+"""Fused LN -> QKV -> multi-head attention Pallas kernel.
+
+The profiled cost of a ViT-B/16 residual-attention block on v5e (bs512,
+after the ln_matmul/bf16-score work) is dominated by HBM structure, not
+FLOPs: the packed QKV tensor round-trips HBM (write + transpose copies +
+re-read, ~3.3 ms/layer) and the [S, S] score tensor streams out and back
+for the two-pass softmax (~3.1 ms/layer).  This kernel runs the whole
+pre-attention chain for one batch entry in VMEM: LayerNorm on the resident
+row tile, the QKV projection on the MXU, and per-head attention — qkv and
+the scores never exist in HBM.
+
+Head-pair trick: Mosaic rejects 64-lane blocks/slices, but with D=64 two
+adjacent heads occupy exactly one 128-lane tile of the packed [S, 3*H*64]
+QKV — so every slice this kernel takes is 128-aligned.  Per pair, each
+head's scores come from a dot with the OTHER head's lanes zeroed in q
+(zeros contribute nothing to the contraction — exact), and the two value
+products are masked per head and summed, composing both heads' outputs in
+their own lanes.  No padded weights (a first version padded D 64->128 and
+doubled the QKV matmul FLOPs — measured +1.9 ms/layer), and the output is
+the reference [B, S, H*D] layout straight into the standard out-proj.
+
+Backward: custom_vjp recomputing through the jnp reference (exact,
+XLA-fused; these models train at reference scale, extraction is the
+throughput path).
+
+Reference analog: torch nn.MultiheadAttention inside the vendored CLIP
+(engine/clip/model.py:171) — fp16 end to end, so fp32 LN/softmax
+statistics here are strictly more precise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAIR_W = 128  # two D=64 heads per 128-lane tile
+
+
+def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
+            eps, heads, head_dim, causal):
+    s = x_ref.shape[0]
+    xf = x_ref[:].astype(jnp.float32)                    # [S, K]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    qkv = jnp.dot(xn.astype(w_ref.dtype), w_ref[:],
+                  preferred_element_type=jnp.float32)
+    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+    scale = head_dim ** -0.5
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_mask = cols <= rows
+    hp = heads * head_dim
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
+    half_masks = ((lane < head_dim).astype(o_ref.dtype),
+                  (lane >= head_dim).astype(o_ref.dtype))
+    for p in range(heads // 2):
+        q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
+        k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
+        v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
+        out = jnp.zeros((s, PAIR_W), jnp.float32)
+        for m in half_masks:
+            sc = jax.lax.dot_general(
+                q2 * m, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale    # [S, S]
+            if causal:
+                sc = jnp.where(causal_mask, sc, -1e30)
+            mx = jnp.max(sc, axis=-1, keepdims=True)
+            e = jnp.exp(sc - mx)
+            w_attn = e / jnp.sum(e, axis=-1, keepdims=True)
+            out = out + jnp.dot(w_attn.astype(v2.dtype), v2 * m,
+                                preferred_element_type=jnp.float32)
+        o_ref[:, p * PAIR_W:(p + 1) * PAIR_W] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "causal", "interpret"))
+def _fwd(x, scale, bias, kernel, kbias, eps, heads, head_dim, causal,
+         interpret):
+    bsz, s, k = x.shape
+    m3 = kernel.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_kernel, eps=eps, heads=heads, head_dim=head_dim,
+                          causal=causal),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((None, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, s, heads * head_dim),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, heads * head_dim), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim,
+            bytes_accessed=(x.size * x.dtype.itemsize
+                            + kernel.size * kernel.dtype.itemsize
+                            + bsz * s * heads * head_dim * x.dtype.itemsize),
+            transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, scale, bias, kernel, kbias)
+    return out
+
+
+def ln_qkv_attention_reference(x, scale, bias, kernel, kbias, *, heads,
+                               causal=False, eps=1e-5):
+    """jnp reference: LN -> packed QKV -> MHA; output [B, S, H*D]."""
+    from uml_tpu.ops.attention import mha_reference
+    from uml_tpu.ops.ln_matmul import ln_matmul_reference
+
+    b, s, _ = x.shape
+    d = kernel.shape[1] // (3 * heads)
+    qkv = ln_matmul_reference(x, scale, bias, kernel, kbias, eps=eps)
+    qkv = qkv.reshape(b, s, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    attn = mha_reference(qkv[0], qkv[1], qkv[2], causal=causal)
+    return attn.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+
+
+def supports_fused_attention(k: int, heads: int, head_dim: int,
+                             seq_len: int, itemsize: int = 2) -> bool:
+    """Head-pair mode needs D=64 and an even head count; everything must
+    fit VMEM (weight resident + x/qkv/out tiles)."""
+    if head_dim * 2 != PAIR_W or heads % 2 != 0 or k % 128 != 0:
+        return False
+    w_bytes = k * 3 * heads * head_dim * itemsize
+    tile_bytes = seq_len * (k * itemsize
+                            + 3 * heads * head_dim * (4 + itemsize)
+                            + heads * head_dim * itemsize)
+    return w_bytes + tile_bytes <= 13 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused(x, scale, bias, kernel, kbias, heads, head_dim, causal, eps):
+    interpret = jax.default_backend() == "cpu"
+    return _fwd(x, scale, bias, kernel, kbias, eps, heads, head_dim, causal,
+                interpret)
+
+
+def _fused_fwd(x, scale, bias, kernel, kbias, heads, head_dim, causal, eps):
+    return (_fused(x, scale, bias, kernel, kbias, heads, head_dim, causal,
+                   eps),
+            (x, scale, bias, kernel, kbias))
+
+
+def _fused_bwd(heads, head_dim, causal, eps, res, g):
+    x, scale, bias, kernel, kbias = res
+    _, vjp = jax.vjp(
+        lambda x, scale, bias, kernel, kbias: ln_qkv_attention_reference(
+            x, scale, bias, kernel, kbias, heads=heads, causal=causal,
+            eps=eps),
+        x, scale, bias, kernel, kbias)
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def ln_qkv_attention(x, scale, bias, kernel, kbias, *, heads: int,
+                     causal: bool = False, eps: float = 1e-5,
+                     impl: str = "auto"):
+    """LN(x) -> packed QKV -> MHA, qkv/scores VMEM-resident.
+
+    Output is the reference [B, S, H*D] layout on every path.
+    """
+    k = x.shape[-1]
+    d = kernel.shape[1] // (3 * heads)
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and x.ndim == 3
+                and supports_fused_attention(k, heads, d, x.shape[1])
+                else "reference")
+    if impl == "pallas":
+        return _fused(x, scale, bias, kernel, kbias, heads, d, causal, eps)
+    return ln_qkv_attention_reference(x, scale, bias, kernel, kbias,
+                                      heads=heads, causal=causal, eps=eps)
