@@ -75,6 +75,60 @@ def test_trainable_backbone_learns(tmp_path):
     assert out["val_acc"] > 0.9  # color classes are trivially separable
 
 
+def test_resnet_bn_training_full_finetune(tmp_path):
+    """RN tower full finetune: BatchNorm trains torch-style — batch stats
+    normalize during training and the running stats move with momentum
+    (reference finetune.py:337-346 under model.train())."""
+    import jax
+    import jax.numpy as jnp
+
+    from uml_tpu.models.clip import ClipConfig, ClipResNetModel
+    from uml_tpu.models.clip_resnet import ClipResNetConfig
+
+    items = _image_items(tmp_path)
+    rn_cfg = ClipResNetConfig(layers=(1, 1, 1, 1), output_dim=16, width=8,
+                              image_resolution=32)
+    text_cfg = ClipConfig(embed_dim=16, image_resolution=32, vision_layers=0,
+                          vision_width=8, vision_patch_size=0,
+                          transformer_width=64, transformer_heads=1,
+                          transformer_layers=1)
+    model_rn = ClipResNetModel(rn_cfg, text_cfg, dtype=jnp.float32,
+                               attn_impl="reference")
+    variables = jax.jit(model_rn.init)(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32))
+    head = make_uml_clip_head(model_rn, variables, num_classes=3,
+                              logit_scale=0.0, freeze_backbone=False)
+    assert head.backbone_train is not None
+    params = head.init_params(seed=0)
+
+    def bn_stats(p):
+        return (np.asarray(p["backbone"]["params"]["visual"]["bn1"]["mean"]),
+                np.asarray(p["backbone"]["params"]["visual"]["bn1"]["var"]))
+
+    mean0, var0 = bn_stats(params)
+    np.testing.assert_array_equal(mean0, 0.0)  # fresh running stats
+
+    from uml_tpu.data.loader import ImageBatchLoader
+
+    imgs, labels = [], []
+    for im, lab, _ in ImageBatchLoader(items, "crop", 8, size=(32, 32)):
+        imgs.append(im)
+        labels.append(lab)
+    val = eval_batches(np.concatenate(imgs), np.concatenate(labels), 8)
+
+    stream = RawImageStream(items, "crop", batch_size=8, seed=0, size=(32, 32))
+    opt = build_optimizer("adamw", build_schedule(1e-3, "cosine", 0, 40), 0.0)
+    out = train(head, iter(stream), None, val, optimizer=opt, max_iters=40,
+                eval_freq=20, patience=10, init_params=params)
+    mean1, var1 = bn_stats({"backbone": out["final_params"]["backbone"]})
+    # running stats moved via the momentum merge (not gradients)
+    assert not np.allclose(mean1, mean0)
+    assert not np.allclose(var1, var0)
+    assert np.isfinite(mean1).all() and (var1 > 0).all()
+    assert out["val_acc"] > 0.6
+
+
 def test_dino_full_finetune_learns(tmp_path):
     """Gradient step through a trainable DINO tower
     (make_uml_dino_head(freeze_backbone=False), cli/finetune.py raw path;

@@ -413,8 +413,10 @@ class ClipResNetModel(nn.Module):
     def embed_dim(self) -> int:
         return self.text_config.embed_dim
 
-    def encode_image(self, pixels, return_tokens: bool = False):
-        return self.visual(pixels, return_tokens=return_tokens)
+    def encode_image(self, pixels, return_tokens: bool = False,
+                     train_bn: bool = False):
+        return self.visual(pixels, return_tokens=return_tokens,
+                           train_bn=train_bn)
 
     def encode_image_u8(self, images_u8, return_tokens: bool = False):
         """ResNet tower: no folding yet; normalize then encode."""

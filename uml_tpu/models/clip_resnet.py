@@ -9,9 +9,13 @@ Behavioral parity with the vendored OpenAI CLIP ResNet
     embedding, one multi-head attention where the mean-token query attends
     over all spatial tokens (model.py:56-90)
 
-BatchNorm runs in inference mode off ported running statistics (the
-reference freezes BN when linear-probing, head.py:115-121; full-finetune BN
-training is a later milestone).
+BatchNorm defaults to inference mode off ported running statistics (the
+reference freezes BN when linear-probing, head.py:115-121).  Full-finetune
+BN *training* (torch semantics: batch statistics normalize, running stats
+follow with momentum 0.1) is available via ``train_bn=True``; the updated
+running stats come back through the mutable "bn_updates" collection and
+are merged into the parameter tree after the optimizer step
+(UMLHead.merge_bn_updates), keeping the torch-portable param layout.
 """
 
 from __future__ import annotations
@@ -46,18 +50,40 @@ CLIP_RESNET_CONFIGS = {
 
 
 class FrozenBatchNorm(nn.Module):
-    """Inference-mode BN using ported running stats."""
+    """BN over ported running stats; optional torch-style training mode.
+
+    ``use_running_average=False`` normalizes with the batch statistics and
+    exposes momentum-updated running stats via the "bn_updates" mutable
+    collection (torch BatchNorm2d train(): biased variance normalizes,
+    unbiased variance feeds the running estimate, momentum 0.1).
+    """
 
     features: int
+    momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, use_running_average: bool = True):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.param("mean", nn.initializers.zeros, (self.features,))
         var = self.param("var", nn.initializers.ones, (self.features,))
-        inv = scale / jnp.sqrt(var + 1e-5)
-        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
+        if use_running_average:
+            inv = scale / jnp.sqrt(var + 1e-5)
+            return (x * inv.astype(x.dtype)
+                    + (bias - mean * inv).astype(x.dtype))
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        bmean = jnp.mean(xf, axes)
+        bvar = jnp.maximum(jnp.mean(xf * xf, axes) - bmean * bmean, 0.0)
+        inv = scale / jnp.sqrt(bvar + 1e-5)
+        y = xf * inv + (bias - bmean * inv)
+        n = max(x.size // x.shape[-1], 2)
+        unbiased = bvar * n / (n - 1)
+        new_mean = (1 - self.momentum) * mean + self.momentum * bmean
+        new_var = (1 - self.momentum) * var + self.momentum * unbiased
+        self.variable("bn_updates", "mean", lambda: new_mean).value = new_mean
+        self.variable("bn_updates", "var", lambda: new_var).value = new_var
+        return y.astype(x.dtype)
 
 
 def _avg_pool(x, window):
@@ -72,18 +98,20 @@ class Bottleneck(nn.Module):
     EXPANSION = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train_bn: bool = False):
+        ura = not train_bn
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out))
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn1")(out, ura))
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
-        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out))
+        out = nn.relu(FrozenBatchNorm(self.planes, name="bn2")(out, ura))
         if self.stride > 1:
             out = _avg_pool(out, self.stride)
         out = nn.Conv(self.planes * self.EXPANSION, (1, 1), use_bias=False,
                       dtype=self.dtype, name="conv3")(out)
-        out = FrozenBatchNorm(self.planes * self.EXPANSION, name="bn3")(out)
+        out = FrozenBatchNorm(self.planes * self.EXPANSION,
+                              name="bn3")(out, ura)
 
         identity = x
         if self.stride > 1 or self.in_planes != self.planes * self.EXPANSION:
@@ -92,7 +120,7 @@ class Bottleneck(nn.Module):
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(identity)
             identity = FrozenBatchNorm(self.planes * self.EXPANSION,
-                                       name="downsample_bn")(identity)
+                                       name="downsample_bn")(identity, ura)
         return nn.relu(out + identity)
 
 
@@ -135,20 +163,22 @@ class ModifiedResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels, return_tokens: bool = False):
+    def __call__(self, pixels, return_tokens: bool = False,
+                 train_bn: bool = False):
         cfg = self.config
         w = cfg.width
+        ura = not train_bn
         x = pixels.astype(self.dtype)
         # 3-conv stem (model.py:107-114)
         x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(FrozenBatchNorm(w // 2, name="bn1")(x))
+        x = nn.relu(FrozenBatchNorm(w // 2, name="bn1")(x, ura))
         x = nn.Conv(w // 2, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(x)
-        x = nn.relu(FrozenBatchNorm(w // 2, name="bn2")(x))
+        x = nn.relu(FrozenBatchNorm(w // 2, name="bn2")(x, ura))
         x = nn.Conv(w, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                     name="conv3")(x)
-        x = nn.relu(FrozenBatchNorm(w, name="bn3")(x))
+        x = nn.relu(FrozenBatchNorm(w, name="bn3")(x, ura))
         x = _avg_pool(x, 2)
 
         in_planes = w
@@ -157,7 +187,8 @@ class ModifiedResNet(nn.Module):
             for blk in range(blocks):
                 x = Bottleneck(
                     in_planes, planes, stride if blk == 0 else 1,
-                    self.dtype, name=f"layer{stage + 1}_{blk}")(x)
+                    self.dtype, name=f"layer{stage + 1}_{blk}")(
+                        x, train_bn=train_bn)
                 in_planes = planes * Bottleneck.EXPANSION
 
         if return_tokens:

@@ -49,6 +49,7 @@ class UMLHead:
         backbone: Callable[[Any, jax.Array], jax.Array] | None = None,
         backbone_params: Any = None,
         freeze_backbone: bool = True,
+        backbone_train: Callable | None = None,   # -> (feats, bn_updates)
     ):
         assert not bias, "reference always uses bias=False heads (head.py:68)"
         self.feat_dim = feat_dim
@@ -60,6 +61,7 @@ class UMLHead:
         self.backbone = backbone
         self.backbone_params = backbone_params
         self.freeze_backbone = freeze_backbone
+        self.backbone_train = backbone_train
 
     # -- params -----------------------------------------------------------
 
@@ -121,6 +123,45 @@ class UMLHead:
             x = x @ params["img_proj_w"]
         return x
 
+    def image_features_train(self, params: dict, images):
+        """Training-mode backbone forward -> (features, bn_updates|None).
+
+        torch semantics for BatchNorm towers (RN50/101 full finetune,
+        finetune.py:337-346 under model.train()): batch statistics
+        normalize, and the momentum-updated running stats come back for
+        the train step to merge after the optimizer update
+        (``merge_bn_updates``).  No-op difference for BN-free towers.
+        """
+        if (self.backbone_train is None or self.freeze_backbone
+                or self.backbone is None or images.ndim != 4):
+            return self.image_features(params, images), None
+        x, upd = self.backbone_train(params["backbone"], images)
+        x = x.astype(jnp.float32)
+        if self.text_indim > 0:
+            x = x @ params["img_proj_w"]
+        return x, upd
+
+    def merge_bn_updates(self, params: dict, bn_updates) -> dict:
+        """Overwrite the backbone's running-stat leaves with the sown
+        "bn_updates" (param layout unchanged; gradients never touch the
+        stats, and any optimizer weight decay on them is overwritten)."""
+        if bn_updates is None:
+            return params
+        upd = bn_updates.get("bn_updates", bn_updates)
+
+        def merge(ptree, utree):
+            out = dict(ptree)
+            for key, val in utree.items():
+                out[key] = (merge(ptree[key], val)
+                            if isinstance(val, dict) else val)
+            return out
+
+        params = dict(params)
+        backbone = dict(params["backbone"])
+        backbone["params"] = merge(backbone["params"], upd)
+        params["backbone"] = backbone
+        return params
+
     def forward(self, params: dict, images_or_feats, text_features=None):
         img_scale, txt_scale = self._scales(params)
         feats = self.image_features(params, images_or_feats)
@@ -147,6 +188,16 @@ def make_uml_clip_head(clip_model, clip_variables, num_classes,
         return clip_model.apply(
             variables, images, method=lambda m, x: m.encode_image(x))
 
+    backbone_train = None
+    if hasattr(clip_model, "resnet_config") and not freeze_backbone:
+        # RN50/101 full finetune: BatchNorm trains torch-style
+        def backbone_train(variables, images):
+            if images.dtype == jnp.uint8:
+                images = normalize_images(images, clip_model.dtype)
+            return clip_model.apply(
+                variables, images, mutable=["bn_updates"],
+                method=lambda m, x: m.encode_image(x, train_bn=True))
+
     return UMLHead(
         feat_dim=clip_model.config.embed_dim,
         num_classes=num_classes,
@@ -156,6 +207,7 @@ def make_uml_clip_head(clip_model, clip_variables, num_classes,
         backbone=backbone,
         backbone_params=clip_variables,
         freeze_backbone=freeze_backbone,
+        backbone_train=backbone_train,
     )
 
 

@@ -162,8 +162,8 @@ def train(
     def step(params, opt_state, img_in, img_labels, img_w,
              txt_feats, txt_labels, txt_w, cap_img, cap_txt, cap_lab):
         def loss_fn(p):
-            img_feats = (model.image_features(p, img_in)
-                         if has_image else None)
+            img_feats, bn_upd = (model.image_features_train(p, img_in)
+                                 if has_image else (None, None))
             img_scale, txt_scale = model._scales(p)
             img_logits = (img_feats @ p["head_w"] * img_scale
                           if has_image else None)
@@ -174,15 +174,20 @@ def train(
             text_loss = (_weighted_ce(txt_logits, txt_labels, txt_w)
                          if has_text else jnp.float32(0.0))
             loss = img_alpha * image_loss + alpha * text_loss
-            return loss, (image_loss, text_loss, img_logits, txt_logits, img_feats)
+            return loss, (image_loss, text_loss, img_logits, txt_logits,
+                          img_feats, bn_upd)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        image_loss, text_loss, img_logits, txt_logits, img_feats = aux
+        image_loss, text_loss, img_logits, txt_logits, img_feats, bn_upd = aux
         # diagnostic scales come from the PRE-step params, like the
         # reference's autograd.grad before optimizer.step (finetune.py:190-195)
         img_scale, txt_scale = model._scales(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if bn_upd is not None:
+            # BatchNorm running stats follow torch momentum semantics, not
+            # gradients: overwrite them after the optimizer step
+            params = model.merge_bn_updates(params, bn_upd)
 
         metrics = {"train/image_loss": image_loss, "train/text_loss": text_loss}
         if has_image:
