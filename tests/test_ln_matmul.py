@@ -88,11 +88,11 @@ def test_add_ln_matmul_kernel_matches_reference():
     w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.float32)
     bb = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
 
-    for gelu in (False, True):
+    for act in (None, "quick_gelu", "gelu_exact"):
         t, out = _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, bb,
-                                       1e-5, gelu, True)
+                                       1e-5, act, True)
         t_ref, out_ref = add_ln_matmul_reference(x, delta, scale, bias, w, bb,
-                                                 gelu=gelu)
+                                                 activation=act)
         np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), atol=1e-5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                    atol=2e-4, rtol=2e-4)

@@ -64,6 +64,37 @@ DINO_CONFIGS = {
 }
 
 
+class _LNParams(nn.Module):
+    """scale/bias matching flax nn.LayerNorm names/shapes/inits."""
+
+    features: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self):
+        return self.scale, self.bias
+
+
+class _DenseParams(nn.Module):
+    """kernel/bias matching flax nn.Dense names/shapes/inits."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class DinoBlock(nn.Module):
     config: DinoConfig
     dtype: jnp.dtype = jnp.float32
@@ -74,26 +105,34 @@ class DinoBlock(nn.Module):
         b, s, _ = x.shape
         h = cfg.num_heads
         d = cfg.hidden_size // h
+        dim = cfg.hidden_size
 
-        y = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm1")(x)
-        qkv = nn.Dense(3 * cfg.hidden_size, dtype=self.dtype, name="qkv")(y)
-        qkv = qkv.reshape(b, s, 3, h, d).transpose(2, 0, 3, 1, 4)
-        attn = multi_head_attention(qkv[0], qkv[1], qkv[2])
-        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
-        attn = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="attn_out")(attn)
+        # same fused-kernel structure as the CLIP blocks (ops.fused_attention
+        # / ops.ln_matmul): LN+QKV+attention VMEM-resident, then
+        # residual-add+LN+fc1+exact-GELU in one program.  Param tree is
+        # identical to the flax-module version.
+        from uml_tpu.ops.fused_attention import ln_qkv_attention
+        from uml_tpu.ops.ln_matmul import add_ln_matmul
+
+        ln1_scale, ln1_bias = _LNParams(dim, name="norm1")()
+        qkv_kernel, qkv_bias = _DenseParams(dim, 3 * dim, name="qkv")()
+        attn = ln_qkv_attention(x, ln1_scale, ln1_bias,
+                                qkv_kernel.astype(self.dtype), qkv_bias,
+                                heads=h, eps=cfg.ln_eps)
+        attn = nn.Dense(dim, dtype=self.dtype, name="attn_out")(attn)
         if cfg.layerscale:
-            ls1 = self.param("layerscale1", nn.initializers.ones,
-                             (cfg.hidden_size,))
+            ls1 = self.param("layerscale1", nn.initializers.ones, (dim,))
             attn = attn * ls1.astype(attn.dtype)
-        x = x + attn
 
-        y = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32, name="norm2")(x)
-        y = nn.Dense(cfg.mlp_ratio * cfg.hidden_size, dtype=self.dtype,
-                     name="fc1")(y)
-        y = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="fc2")(nn.gelu(y, approximate=False))
+        ln2_scale, ln2_bias = _LNParams(dim, name="norm2")()
+        fc1_kernel, fc1_bias = _DenseParams(dim, cfg.mlp_ratio * dim,
+                                            name="fc1")()
+        x, y = add_ln_matmul(x, attn, ln2_scale, ln2_bias,
+                             fc1_kernel.astype(self.dtype), fc1_bias,
+                             eps=cfg.ln_eps, activation="gelu_exact")
+        y = nn.Dense(dim, dtype=self.dtype, name="fc2")(y)
         if cfg.layerscale:
-            ls2 = self.param("layerscale2", nn.initializers.ones,
-                             (cfg.hidden_size,))
+            ls2 = self.param("layerscale2", nn.initializers.ones, (dim,))
             y = y * ls2.astype(y.dtype)
         return x + y
 

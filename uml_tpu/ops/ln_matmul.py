@@ -68,9 +68,18 @@ def _quick_gelu_f32(x):
     return x * (1.0 / (1.0 + jnp.exp(-1.702 * x)))
 
 
+def _gelu_exact_f32(x):
+    # erf-based GELU (DINO uses nn.gelu(approximate=False))
+    return x * 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
+
+
+_ACTIVATIONS = {None: lambda x: x, "quick_gelu": _quick_gelu_f32,
+                "gelu_exact": _gelu_exact_f32}
+
+
 def _add_ln_matmul_kernel(x_ref, d_ref, scale_ref, bias_ref, w_ref, b_ref,
-                          t_ref, o_ref, *, eps, gelu):
-    """t = x + delta; o = [gelu](LN(t) @ w + b).  Absorbs the residual add
+                          t_ref, o_ref, *, eps, activation):
+    """t = x + delta; o = act(LN(t) @ w + b).  Absorbs the residual add
     and the activation into the matmul program (both were standalone HBM
     passes once pallas_call broke XLA's fusion regions)."""
     t = (x_ref[:].astype(jnp.float32) + d_ref[:].astype(jnp.float32))
@@ -83,19 +92,20 @@ def _add_ln_matmul_kernel(x_ref, d_ref, scale_ref, bias_ref, w_ref, b_ref,
     out = jnp.dot(xn.astype(w_ref.dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
     out = out + b_ref[:].astype(jnp.float32)
-    if gelu:
-        out = _quick_gelu_f32(out)
+    out = _ACTIVATIONS[activation](out)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps", "gelu", "interpret"))
-def _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, b, eps, gelu, interpret):
+                   static_argnames=("eps", "activation", "interpret"))
+def _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, b, eps, activation,
+                          interpret):
     """x, delta: [B, S, K] -> (t = x + delta [B, S, K], out [B, S, M])."""
     bsz, s, k = x.shape
     m = w.shape[1]
     t, out = pl.pallas_call(
-        functools.partial(_add_ln_matmul_kernel, eps=eps, gelu=gelu),
+        functools.partial(_add_ln_matmul_kernel, eps=eps,
+                          activation=activation),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((None, s, k), lambda i: (i, 0, 0),
@@ -122,7 +132,7 @@ def _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, b, eps, gelu, interpret):
             bytes_accessed=(2 * x.size * x.dtype.itemsize
                             + w.size * w.dtype.itemsize
                             + bsz * s * (k + m) * x.dtype.itemsize),
-            transcendentals=bsz * s * m if gelu else 0,
+            transcendentals=bsz * s * m if activation else 0,
         ),
         interpret=interpret,
     )(x, delta, scale, bias, w, b)
@@ -130,8 +140,8 @@ def _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, b, eps, gelu, interpret):
 
 
 def add_ln_matmul_reference(x, delta, scale, bias, w, b, *, eps: float = 1e-5,
-                            gelu: bool = False):
-    """jnp reference for the fused residual-add -> LN -> matmul[-> gelu]."""
+                            activation: str | None = None):
+    """jnp reference for the fused residual-add -> LN -> matmul -> act."""
     t32 = x.astype(jnp.float32) + delta.astype(jnp.float32)
     t = t32.astype(x.dtype)
     mean = jnp.mean(t32, axis=-1, keepdims=True)
@@ -141,28 +151,27 @@ def add_ln_matmul_reference(x, delta, scale, bias, w, b, *, eps: float = 1e-5,
     xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     out = jnp.dot(xn.astype(w.dtype), w, preferred_element_type=jnp.float32)
     out = out + b.astype(jnp.float32)
-    if gelu:
-        out = _quick_gelu_f32(out)
+    out = _ACTIVATIONS[activation](out)
     return t, out.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _add_ln_matmul(x, delta, scale, bias, w, b, eps, gelu):
+def _add_ln_matmul(x, delta, scale, bias, w, b, eps, activation):
     interpret = jax.default_backend() == "cpu"
-    return _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, b, eps, gelu,
-                                 interpret)
+    return _add_ln_matmul_fwd_3d(x, delta, scale, bias, w, b, eps,
+                                 activation, interpret)
 
 
-def _add_ln_matmul_fwd(x, delta, scale, bias, w, b, eps, gelu):
-    return (_add_ln_matmul(x, delta, scale, bias, w, b, eps, gelu),
+def _add_ln_matmul_fwd(x, delta, scale, bias, w, b, eps, activation):
+    return (_add_ln_matmul(x, delta, scale, bias, w, b, eps, activation),
             (x, delta, scale, bias, w, b))
 
 
-def _add_ln_matmul_bwd(eps, gelu, res, g):
+def _add_ln_matmul_bwd(eps, activation, res, g):
     x, delta, scale, bias, w, b = res
     _, vjp = jax.vjp(
         lambda x, delta, scale, bias, w, b: add_ln_matmul_reference(
-            x, delta, scale, bias, w, b, eps=eps, gelu=gelu),
+            x, delta, scale, bias, w, b, eps=eps, activation=activation),
         x, delta, scale, bias, w, b)
     return vjp(g)
 
@@ -171,22 +180,26 @@ _add_ln_matmul.defvjp(_add_ln_matmul_fwd, _add_ln_matmul_bwd)
 
 
 def add_ln_matmul(x, delta, scale, bias, w, b, *, eps: float = 1e-5,
-                  gelu: bool = False, impl: str = "auto"):
-    """(x + delta, [gelu](LN(x + delta) @ w + b)) over the last axis.
+                  gelu: bool = False, activation: str | None = None,
+                  impl: str = "auto"):
+    """(x + delta, act(LN(x + delta) @ w + b)) over the last axis.
 
     The pre-LN residual block's second half in one HBM pass: the residual
-    add, the LN statistics, the matmul, and optionally the QuickGELU all
-    happen on the VMEM-resident tile.
+    add, the LN statistics, the matmul, and the activation all happen on
+    the VMEM-resident tile.  ``activation``: None | 'quick_gelu' (CLIP) |
+    'gelu_exact' (DINO); ``gelu=True`` is shorthand for 'quick_gelu'.
     """
+    if gelu and activation is None:
+        activation = "quick_gelu"
     k = x.shape[-1]
     m = w.shape[-1]
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         impl = "pallas" if (on_tpu and supports_ln_matmul(k, m)) else "reference"
     if impl == "pallas" and x.ndim == 3:
-        return _add_ln_matmul(x, delta, scale, bias, w, b, eps, gelu)
+        return _add_ln_matmul(x, delta, scale, bias, w, b, eps, activation)
     return add_ln_matmul_reference(x, delta, scale, bias, w, b, eps=eps,
-                                   gelu=gelu)
+                                   activation=activation)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "block_b", "interpret"))
