@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 
 from uml_tpu.ops.fused_attention import (
+    _block_fwd,
     _fwd,
+    fold_ln_into_matmul,
+    ln_attn_block,
+    ln_attn_block_reference,
     ln_qkv_attention,
     ln_qkv_attention_reference,
     supports_fused_attention,
@@ -63,6 +67,42 @@ def test_grads_flow_through_custom_vjp():
     assert np.isfinite(np.asarray(gx)).all()
     assert np.isfinite(np.asarray(gk)).all()
     assert float(jnp.abs(gk).sum()) > 0
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_block_kernel_matches_reference(causal):
+    """Whole-half-block kernel (LN->QKV->attn->out_proj->residual add)."""
+    rng = np.random.default_rng(3)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    got = _block_fwd(x, w_eff, b_eff, wo, bo, 1e-5, heads, d,
+                     causal, True)
+    want = ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                   heads=heads, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_block_grads_flow_through_custom_vjp():
+    rng = np.random.default_rng(4)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.zeros(x.shape[-1], jnp.float32)
+
+    def loss(x, kernel, wo):
+        out = ln_attn_block(x, scale, bias, kernel, kbias, wo, bo, heads=2)
+        return (out * out).sum()
+
+    gx, gk, gw = jax.grad(loss, argnums=(0, 1, 2))(x, kernel, wo)
+    for g in (gx, gk, gw):
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
 
 
 def test_supports_gate():

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from uml_tpu.ops.fused_attention import fold_ln_into_matmul
 from uml_tpu.ops.ln_matmul import (
     _ln_matmul_fwd_impl,
     ln_matmul,
@@ -22,7 +23,8 @@ def test_kernel_matches_reference(n, k, m):
     w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.float32)
     b = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
 
-    got = _ln_matmul_fwd_impl(x, scale, bias, w, b, 1e-5, 256, True)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, w, b)
+    got = _ln_matmul_fwd_impl(x, w_eff, b_eff, 1e-5, 256, True)
     want = ln_matmul_reference(x, scale, bias, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
@@ -37,7 +39,8 @@ def test_kernel_bf16_padding_rows():
     bias = jnp.zeros((k,), jnp.float32)
     w = jnp.asarray(rng.standard_normal((k, m)) / np.sqrt(k), jnp.bfloat16)
     b = jnp.zeros((m,), jnp.float32)
-    got = _ln_matmul_fwd_impl(x, scale, bias, w, b, 1e-5, 256, True)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, w, b)
+    got = _ln_matmul_fwd_impl(x, w_eff, b_eff, 1e-5, 256, True)
     want = ln_matmul_reference(x, scale, bias, w, b)
     assert got.shape == (n, m) and got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),

@@ -76,9 +76,15 @@ def maybe_shard_batch(mesh: Mesh | None, tree):
 
 def mesh_from_flag(mesh_flag: str = "auto") -> Mesh | None:
     """CLI entry: 'auto' -> data-parallel mesh over every device when more
-    than one is present; 'off' -> None (single-device dispatch)."""
+    than one is present; 'off' -> None (single-device dispatch).
+
+    Multi-host jobs: initializes the distributed runtime first (no-op for
+    single-process runs), so the mesh spans every host's devices."""
     if mesh_flag == "off":
         return None
+    from uml_tpu.core.distributed import maybe_initialize
+
+    maybe_initialize()
     if len(jax.devices()) <= 1:
         return None
     return create_mesh()

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.ops.attention import dense_attention_bshd, multi_head_attention
-from uml_tpu.ops.fused_attention import ln_qkv_attention
+from uml_tpu.ops.fused_attention import ln_attn_block
 from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul
 from uml_tpu.ops.patch_embed import patch_embed_u8
 
@@ -167,21 +167,23 @@ class ResidualAttentionBlock(nn.Module):
         qkv_kernel, qkv_bias = _DenseKernelBias(
             self.width, 3 * self.width, name="qkv")()
         if self.attn_impl in ("auto", "fused") and self.ln_matmul_impl != "reference":
-            # whole pre-attention chain in one kernel when supported: LN,
-            # QKV matmul, and per-head attention run VMEM-resident (the
-            # packed qkv and the [S,S] scores never exist in HBM)
-            attn = ln_qkv_attention(
+            # whole attention half-block in one kernel when supported: LN,
+            # QKV matmul, per-head attention, the out-projection, and the
+            # residual add run VMEM-resident (the packed qkv, the [S,S]
+            # scores, and the attention tile never exist in HBM)
+            out_kernel, out_bias = _DenseKernelBias(
+                self.width, self.width, name="out_proj")()
+            x = ln_attn_block(
                 x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
-                qkv_bias, heads=h, causal=causal, impl=self.ln_matmul_impl)
-            delta = nn.Dense(self.width, dtype=self.dtype,
-                             name="out_proj")(attn)
+                qkv_bias, out_kernel.astype(self.dtype), out_bias,
+                heads=h, causal=causal, impl=self.ln_matmul_impl)
             ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
                 x, return_params=True)
             fc_kernel, fc_bias = _DenseKernelBias(
                 self.width, 4 * self.width, name="c_fc")()
-            x, y = add_ln_matmul(x, delta, ln2_scale, ln2_bias,
-                                 fc_kernel.astype(self.dtype), fc_bias,
-                                 gelu=True, impl=self.ln_matmul_impl)
+            y = ln_matmul(x, ln2_scale, ln2_bias,
+                          fc_kernel.astype(self.dtype), fc_bias,
+                          activation="quick_gelu", impl=self.ln_matmul_impl)
             return x + nn.Dense(self.width, dtype=self.dtype,
                                 name="c_proj")(y)
 

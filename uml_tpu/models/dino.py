@@ -108,28 +108,32 @@ class DinoBlock(nn.Module):
         dim = cfg.hidden_size
 
         # same fused-kernel structure as the CLIP blocks (ops.fused_attention
-        # / ops.ln_matmul): LN+QKV+attention VMEM-resident, then
-        # residual-add+LN+fc1+exact-GELU in one program.  Param tree is
-        # identical to the flax-module version.
-        from uml_tpu.ops.fused_attention import ln_qkv_attention
-        from uml_tpu.ops.ln_matmul import add_ln_matmul
+        # / ops.ln_matmul): the whole attention half-block (LN, QKV,
+        # attention, out-projection, residual add) in one VMEM-resident
+        # program, then LN+fc1+exact-GELU in another.  Param tree is
+        # identical to the flax-module version; the layerscale vector is
+        # folded into the out-projection (attn@wo*ls == attn@(wo*ls)).
+        from uml_tpu.ops.fused_attention import ln_attn_block
+        from uml_tpu.ops.ln_matmul import ln_matmul
 
         ln1_scale, ln1_bias = _LNParams(dim, name="norm1")()
         qkv_kernel, qkv_bias = _DenseParams(dim, 3 * dim, name="qkv")()
-        attn = ln_qkv_attention(x, ln1_scale, ln1_bias,
-                                qkv_kernel.astype(self.dtype), qkv_bias,
-                                heads=h, eps=cfg.ln_eps)
-        attn = nn.Dense(dim, dtype=self.dtype, name="attn_out")(attn)
+        out_kernel, out_bias = _DenseParams(dim, dim, name="attn_out")()
         if cfg.layerscale:
             ls1 = self.param("layerscale1", nn.initializers.ones, (dim,))
-            attn = attn * ls1.astype(attn.dtype)
+            out_kernel = out_kernel * ls1[None, :]
+            out_bias = out_bias * ls1
+        x = ln_attn_block(x, ln1_scale, ln1_bias,
+                          qkv_kernel.astype(self.dtype), qkv_bias,
+                          out_kernel.astype(self.dtype), out_bias,
+                          heads=h, eps=cfg.ln_eps)
 
         ln2_scale, ln2_bias = _LNParams(dim, name="norm2")()
         fc1_kernel, fc1_bias = _DenseParams(dim, cfg.mlp_ratio * dim,
                                             name="fc1")()
-        x, y = add_ln_matmul(x, attn, ln2_scale, ln2_bias,
-                             fc1_kernel.astype(self.dtype), fc1_bias,
-                             eps=cfg.ln_eps, activation="gelu_exact")
+        y = ln_matmul(x, ln2_scale, ln2_bias,
+                      fc1_kernel.astype(self.dtype), fc1_bias,
+                      eps=cfg.ln_eps, activation="gelu_exact")
         y = nn.Dense(dim, dtype=self.dtype, name="fc2")(y)
         if cfg.layerscale:
             ls2 = self.param("layerscale2", nn.initializers.ones, (dim,))

@@ -42,7 +42,6 @@ PAIR_W = 128  # two D=64 heads per 128-lane tile
 
 def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
             eps, heads, head_dim, causal):
-    s = x_ref.shape[0]
     xf = x_ref[:].astype(jnp.float32)                    # [S, K]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -53,32 +52,139 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
                   preferred_element_type=jnp.float32)
     qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
+    cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
+                           causal=causal, dot_dtype=o_ref.dtype)
+    for p, out in enumerate(cols):
+        o_ref[:, p * PAIR_W:(p + 1) * PAIR_W] = out.astype(o_ref.dtype)
+
+
+def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype):
+    """Per-head-pair attention on a VMEM-resident packed qkv [S, 3*H*D].
+
+    Returns the [S, H*D] attention output as a list of [S, PAIR_W] fp32
+    columns (one per pair).  Softmax is three passes over the [S, S]
+    scores instead of the naive seven: the 1/sqrt(D) scale is folded into
+    the per-head q mask (0.125 is exact in bf16), the exp is written
+    straight in the dot dtype, and normalization happens AFTER the
+    attention-value dot on the [S, D]-shaped unnormalized output
+    (flash-attention identity: (e/l) @ v == (e @ v) * (1/l)).
+    """
+    s = qkv.shape[0]
     scale = head_dim ** -0.5
+    hp = heads * head_dim
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         causal_mask = cols <= rows
-    hp = heads * head_dim
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
-    half_masks = ((lane < head_dim).astype(o_ref.dtype),
-                  (lane >= head_dim).astype(o_ref.dtype))
+    half_masks = ((lane < head_dim).astype(jnp.float32),
+                  (lane >= head_dim).astype(jnp.float32))
+    out_cols = []
     for p in range(heads // 2):
         q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
         k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
         v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
-        out = jnp.zeros((s, PAIR_W), jnp.float32)
+        acc = jnp.zeros((s, PAIR_W), jnp.float32)
         for m in half_masks:
+            qm = q2 * (m * scale).astype(dot_dtype)
             sc = jax.lax.dot_general(
-                q2 * m, k2, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale    # [S, S]
+                qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [S, S]
             if causal:
                 sc = jnp.where(causal_mask, sc, -1e30)
             mx = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - mx)
-            w_attn = e / jnp.sum(e, axis=-1, keepdims=True)
-            out = out + jnp.dot(w_attn.astype(v2.dtype), v2 * m,
-                                preferred_element_type=jnp.float32)
-        o_ref[:, p * PAIR_W:(p + 1) * PAIR_W] = out.astype(o_ref.dtype)
+            e = jnp.exp(sc - mx).astype(dot_dtype)
+            l = jnp.sum(e, axis=-1, keepdims=True,
+                        dtype=jnp.float32)                   # [S, 1]
+            o = jnp.dot(e, v2 * m.astype(dot_dtype),
+                        preferred_element_type=jnp.float32)  # [S, PAIR_W]
+            acc = acc + o * (1.0 / l)
+        out_cols.append(acc)
+    return out_cols
+
+
+def _block_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
+                  o_ref, *, eps, heads, head_dim, causal):
+    """Whole attention half-block for a few batch entries, VMEM-resident:
+    o = x + (MHA(rawLN(x) @ w + b) @ wo + bo).  qkv, the [S, S] scores,
+    the attention output, and the out-projection delta never exist in HBM.
+
+    The LN scale/bias are already folded into ``w``/``b`` by the caller
+    ((xn*s + t) @ W == xn @ (s*W) + t@W), so the normalize is two VPU
+    passes (Mosaic requires a 32-bit matmul accumulator, so the
+    bias-add + cast epilogue stays).  x_ref is [G, S, K]: processing G
+    independent images per program gives the VLIW scheduler parallel
+    chains, overlapping one image's VPU softmax with another's MXU dots."""
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)                    # [S, K]
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+        qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+        qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(w_ref.dtype)
+
+        cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
+                               causal=causal, dot_dtype=w_ref.dtype)
+        attn = jnp.concatenate(cols, axis=-1).astype(wo_ref.dtype)
+        delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        o_ref[j] = (xf + delta
+                    + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _raw_block_reference(x, w_eff, b_eff, wo, bo, *, heads, causal, eps):
+    """jnp twin of _block_kernel (post-fold form), for the custom_vjp."""
+    from uml_tpu.ops.attention import mha_reference
+
+    b, s, _ = x.shape
+    d = w_eff.shape[1] // (3 * heads)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_eff.dtype)
+    qkv = jnp.dot(xn, w_eff, preferred_element_type=jnp.float32)
+    qkv = (qkv + b_eff.astype(jnp.float32)).astype(w_eff.dtype)
+    qkv = qkv.reshape(b, s, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    attn = mha_reference(qkv[0], qkv[1], qkv[2], causal=causal)
+    attn = attn.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+    delta = jnp.dot(attn.astype(wo.dtype), wo,
+                    preferred_element_type=jnp.float32)
+    return (xf + delta + bo.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "causal", "interpret"))
+def _block_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
+               causal, interpret):
+    bsz, s, k = x.shape
+    m3 = w_eff.shape[1]
+    hd = heads * head_dim
+    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    return pl.pallas_call(
+        functools.partial(_block_kernel, eps=eps, heads=heads,
+                          head_dim=head_dim, causal=causal),
+        grid=(bsz // g,),
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, k), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim
+                   + 2 * bsz * s * hd * k),
+            bytes_accessed=(2 * x.size * x.dtype.itemsize
+                            + (w_eff.size + wo.size) * w_eff.dtype.itemsize),
+            transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, w_eff, b_eff, wo, bo)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -130,12 +236,17 @@ def ln_qkv_attention_reference(x, scale, bias, kernel, kbias, *, heads,
 
 
 def supports_fused_attention(k: int, heads: int, head_dim: int,
-                             seq_len: int, itemsize: int = 2) -> bool:
+                             seq_len: int, itemsize: int = 2,
+                             with_proj: bool = False) -> bool:
     """Head-pair mode needs D=64 and an even head count; everything must
-    fit VMEM (weight resident + x/qkv/out tiles)."""
+    fit VMEM (weight resident + x/qkv/out tiles).  ``with_proj`` accounts
+    for the extra resident [H*D, K] out-projection weight of the
+    whole-half-block kernel."""
     if head_dim * 2 != PAIR_W or heads % 2 != 0 or k % 128 != 0:
         return False
     w_bytes = k * 3 * heads * head_dim * itemsize
+    if with_proj:
+        w_bytes += heads * head_dim * k * itemsize
     tile_bytes = seq_len * (k * itemsize
                             + 3 * heads * head_dim * (4 + itemsize)
                             + heads * head_dim * itemsize)
@@ -166,6 +277,85 @@ def _fused_bwd(heads, head_dim, causal, eps, res, g):
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo, *,
+                            heads, causal=False, eps=1e-5):
+    """jnp reference: x + (MHA(LN(x)) @ wo + bo) — the pre-LN block's
+    attention half including the residual add (engine/clip/model.py:181)."""
+    attn = ln_qkv_attention_reference(x, scale, bias, kernel, kbias,
+                                      heads=heads, causal=causal, eps=eps)
+    delta = jnp.dot(attn.astype(wo.dtype), wo,
+                    preferred_element_type=jnp.float32)
+    out = x.astype(jnp.float32) + delta + bo.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_block(x, w_eff, b_eff, wo, bo, heads, head_dim, causal, eps):
+    interpret = jax.default_backend() == "cpu"
+    return _block_fwd(x, w_eff, b_eff, wo, bo, eps, heads,
+                      head_dim, causal, interpret)
+
+
+def _fused_block_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, causal, eps):
+    return (_fused_block(x, w_eff, b_eff, wo, bo, heads, head_dim, causal,
+                         eps),
+            (x, w_eff, b_eff, wo, bo))
+
+
+def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
+    x, w_eff, b_eff, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
+            x, w_eff, b_eff, wo, bo, heads=heads, causal=causal, eps=eps),
+        x, w_eff, b_eff, wo, bo)
+    return vjp(g)
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fold_ln_into_matmul(scale, bias, kernel, kbias):
+    """Fold LN affine params into the following matmul's weights:
+    (xn*scale + bias) @ W + b  ==  xn @ (scale*W) + (b + bias@W).
+
+    Fold math runs in fp32; ``w_eff`` is cast back to the weight dtype.
+    Gradients to scale/bias/kernel/kbias flow through these XLA ops (the
+    Pallas custom_vjp only sees the folded tensors).
+    """
+    kf = kernel.astype(jnp.float32)
+    w_eff = (scale.astype(jnp.float32)[:, None] * kf).astype(kernel.dtype)
+    b_eff = kbias.astype(jnp.float32) + bias.astype(jnp.float32) @ kf
+    return w_eff, b_eff
+
+
+def ln_attn_block(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
+                  causal: bool = False, eps: float = 1e-5,
+                  impl: str = "auto"):
+    """x + (MHA(LN(x)) @ wo + bo): the full attention half of a pre-LN
+    residual block in one Pallas program per batch entry.
+
+    Extends ln_qkv_attention with the out-projection and the residual add:
+    the attention output and the projection delta stay VMEM-resident, so
+    per layer one kernel replaces a kernel + an XLA matmul + HBM
+    round-trips of the attention tile.  The LN scale/bias are folded into
+    the QKV weights outside the kernel.  ``wo``: [H*D, K]; ``bo``: [K].
+    """
+    k = x.shape[-1]
+    d = kernel.shape[1] // (3 * heads)
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and x.ndim == 3
+                and heads * d == wo.shape[0] and wo.shape[1] == k
+                and supports_fused_attention(k, heads, d, x.shape[1],
+                                             with_proj=True)
+                else "reference")
+    if impl == "pallas":
+        w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+        return _fused_block(x, w_eff, b_eff, wo, bo, heads, d, causal, eps)
+    return ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                   heads=heads, causal=causal, eps=eps)
 
 
 def ln_qkv_attention(x, scale, bias, kernel, kbias, *, heads: int,

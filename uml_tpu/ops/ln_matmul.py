@@ -29,8 +29,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def ln_matmul_reference(x, scale, bias, w, b, *, eps: float = 1e-5):
-    """jnp reference: fp32-stats LN over the last axis, then x_n @ w + b.
+def ln_matmul_reference(x, scale, bias, w, b, *, eps: float = 1e-5,
+                        activation: str | None = None):
+    """jnp reference: fp32-stats LN over the last axis, then
+    act(x_n @ w + b).
 
     Matches flax LayerNorm(use_fast_variance=True) statistics:
     var = max(0, E[x^2] - E[x]^2).
@@ -43,25 +45,40 @@ def ln_matmul_reference(x, scale, bias, w, b, *, eps: float = 1e-5):
     xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     xn = xn.astype(w.dtype)
     out = jnp.dot(xn, w, preferred_element_type=jnp.float32)
-    return (out + b.astype(jnp.float32)).astype(x.dtype)
+    out = _ACTIVATIONS[activation](out + b.astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
-def _ln_matmul_kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *, eps):
+def _ln_matmul_kernel(x_ref, w_ref, b_ref, o_ref, *,
+                      eps, activation=None):
+    """Raw-LN form: the LN scale/bias are folded into w/b by the caller
+    ((xn*s + t) @ W == xn @ (s*W) + t@W) — the normalize is two VPU passes
+    on the VMEM-resident tile, the MXU does the rest."""
     xf = x_ref[:].astype(jnp.float32)                       # [BN, K]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
         jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
-    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
-    out = jnp.dot(xn.astype(w_ref.dtype), w_ref[:],
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+    out = jnp.dot(xn, w_ref[:],
                   preferred_element_type=jnp.float32)       # [BN, M]
-    o_ref[:] = (out + b_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    out = _ACTIVATIONS[activation](out + b_ref[:].astype(jnp.float32))
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _ln_matmul_kernel_3d(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
-                         eps):
-    """Per-batch-entry program: x_ref [S, K] (a squeezed [1, S, K] block)."""
-    _ln_matmul_kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, eps=eps)
+def _ln_matmul_kernel_3d(x_ref, w_ref, b_ref, o_ref, *,
+                         eps, activation=None):
+    """Multi-batch-entry program: x_ref [G, S, K].  G independent images
+    per program give the VLIW scheduler parallel chains (one image's
+    activation epilogue overlaps another's MXU dot)."""
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+        out = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
+        out = _ACTIVATIONS[activation](out + b_ref[:].astype(jnp.float32))
+        o_ref[j] = out.astype(o_ref.dtype)
 
 
 def _quick_gelu_f32(x):
@@ -202,8 +219,10 @@ def add_ln_matmul(x, delta, scale, bias, w, b, *, eps: float = 1e-5,
                                    activation=activation)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "block_b", "interpret"))
-def _ln_matmul_fwd_3d(x, scale, bias, w, b, eps, block_b, interpret):
+@functools.partial(jax.jit, static_argnames=("eps", "block_b", "interpret",
+                                             "activation"))
+def _ln_matmul_fwd_3d(x, w, b, eps, block_b, interpret,
+                      activation=None):
     """3D entry: x [B, S, K] -> [B, S, M], grid over the batch dim.
 
     Avoids the [B, S, K] -> [B*S, K] reshape a 2D kernel would force: with
@@ -212,18 +231,18 @@ def _ln_matmul_fwd_3d(x, scale, bias, w, b, eps, block_b, interpret):
     """
     bsz, s, k = x.shape
     m = w.shape[1]
+    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
     out = pl.pallas_call(
-        functools.partial(_ln_matmul_kernel_3d, eps=eps),
-        grid=(bsz,),
+        functools.partial(_ln_matmul_kernel_3d, eps=eps,
+                          activation=activation),
+        grid=(bsz // g,),
         in_specs=[
-            pl.BlockSpec((None, s, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, s, m), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, s, m), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, s, m), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -231,10 +250,10 @@ def _ln_matmul_fwd_3d(x, scale, bias, w, b, eps, block_b, interpret):
             bytes_accessed=(x.size * x.dtype.itemsize
                             + w.size * w.dtype.itemsize
                             + bsz * s * m * x.dtype.itemsize),
-            transcendentals=0,
+            transcendentals=bsz * s * m if activation else 0,
         ),
         interpret=interpret,
-    )(x, scale, bias, w, b)
+    )(x, w, b)
     return out
 
 
@@ -242,21 +261,21 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "block_n", "interpret"))
-def _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, block_n, interpret):
+@functools.partial(jax.jit, static_argnames=("eps", "block_n", "interpret",
+                                             "activation"))
+def _ln_matmul_fwd_impl(x, w, b, eps, block_n, interpret,
+                        activation=None):
     n, k = x.shape
     m = w.shape[1]
     n_pad = _round_up(n, block_n)
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_ln_matmul_kernel, eps=eps),
+        functools.partial(_ln_matmul_kernel, eps=eps, activation=activation),
         grid=(n_pad // block_n,),
         in_specs=[
             pl.BlockSpec((block_n, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
             # constant index map: Mosaic keeps W resident across grid steps
             pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -269,31 +288,46 @@ def _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, block_n, interpret):
             bytes_accessed=(x.size * x.dtype.itemsize
                             + w.size * w.dtype.itemsize
                             + n_pad * m * x.dtype.itemsize),
-            transcendentals=0,
+            transcendentals=n_pad * m if activation else 0,
         ),
         interpret=interpret,
-    )(x, scale, bias, w, b)
+    )(x, w, b)
     return out[:n] if n_pad != n else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _ln_matmul(x, scale, bias, w, b, eps):
+def _raw_ln_matmul_reference(x, w_eff, b_eff, *, eps, activation):
+    """jnp twin of the post-fold kernel form, for the custom_vjp."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_eff.dtype)
+    out = jnp.dot(xn, w_eff, preferred_element_type=jnp.float32)
+    out = _ACTIVATIONS[activation](out + b_eff.astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ln_matmul(x, w_eff, b_eff, eps, activation):
     interpret = jax.default_backend() == "cpu"
     if x.ndim == 3:
-        return _ln_matmul_fwd_3d(x, scale, bias, w, b, eps, 1, interpret)
-    return _ln_matmul_fwd_impl(x, scale, bias, w, b, eps, 256, interpret)
+        return _ln_matmul_fwd_3d(x, w_eff, b_eff, eps, 1, interpret,
+                                 activation)
+    return _ln_matmul_fwd_impl(x, w_eff, b_eff, eps, 256, interpret,
+                               activation)
 
 
-def _ln_matmul_fwd(x, scale, bias, w, b, eps):
-    return _ln_matmul(x, scale, bias, w, b, eps), (x, scale, bias, w, b)
+def _ln_matmul_fwd(x, w_eff, b_eff, eps, activation):
+    return (_ln_matmul(x, w_eff, b_eff, eps, activation),
+            (x, w_eff, b_eff))
 
 
-def _ln_matmul_bwd(eps, res, g):
-    x, scale, bias, w, b = res
+def _ln_matmul_bwd(eps, activation, res, g):
+    x, w_eff, b_eff = res
     _, vjp = jax.vjp(
-        lambda x, scale, bias, w, b: ln_matmul_reference(
-            x, scale, bias, w, b, eps=eps),
-        x, scale, bias, w, b)
+        lambda x, w_eff, b_eff: _raw_ln_matmul_reference(
+            x, w_eff, b_eff, eps=eps, activation=activation),
+        x, w_eff, b_eff)
     return vjp(g)
 
 
@@ -306,10 +340,12 @@ def supports_ln_matmul(k: int, m: int) -> bool:
     return k % 128 == 0 and m % 128 == 0 and k * m * 2 <= 8 * 1024 * 1024
 
 
-def ln_matmul(x, scale, bias, w, b, *, eps: float = 1e-5, impl: str = "auto"):
-    """LayerNorm(x) @ w + b over the last axis of x.
+def ln_matmul(x, scale, bias, w, b, *, eps: float = 1e-5,
+              activation: str | None = None, impl: str = "auto"):
+    """act(LayerNorm(x) @ w + b) over the last axis of x.
 
     x: [..., K] (any leading dims); scale/bias: [K]; w: [K, M]; b: [M].
+    ``activation``: None | 'quick_gelu' (CLIP) | 'gelu_exact' (DINO).
     impl: 'auto' (Pallas on TPU for supported shapes, else reference) |
     'pallas' | 'reference'.
     """
@@ -321,5 +357,9 @@ def ln_matmul(x, scale, bias, w, b, *, eps: float = 1e-5, impl: str = "auto"):
     if impl == "pallas" and x.ndim in (2, 3):
         # keep the caller's rank: a [B, S, K] -> [B*S, K] reshape is a real
         # repacking pass on TPU when S is not sublane-aligned
-        return _ln_matmul(x, scale, bias, w, b, eps)
-    return ln_matmul_reference(x, scale, bias, w, b, eps=eps)
+        from uml_tpu.ops.fused_attention import fold_ln_into_matmul
+
+        w_eff, b_eff = fold_ln_into_matmul(scale, bias, w, b)
+        return _ln_matmul(x, w_eff, b_eff, eps, activation)
+    return ln_matmul_reference(x, scale, bias, w, b, eps=eps,
+                               activation=activation)
