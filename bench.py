@@ -31,7 +31,7 @@ import numpy as np
 from uml_tpu.models.clip import build_clip
 
 BASELINE_IMG_PER_S = 5000.0
-BATCH = int(os.environ.get("UML_BENCH_BATCH", 1024))
+BATCH = int(os.environ.get("UML_BENCH_BATCH", 2048))
 ITERS = 10
 PIPELINE_BATCH = 512
 PIPELINE_IMAGES = 2048

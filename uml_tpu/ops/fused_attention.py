@@ -58,7 +58,7 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
         o_ref[:, p * PAIR_W:(p + 1) * PAIR_W] = out.astype(o_ref.dtype)
 
 
-def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype):
+def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype, b_eff=None):
     """Per-head-pair attention on a VMEM-resident packed qkv [S, 3*H*D].
 
     Returns the [S, H*D] attention output as a list of [S, PAIR_W] fp32
@@ -68,9 +68,20 @@ def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype):
     straight in the dot dtype, and normalization happens AFTER the
     attention-value dot on the [S, D]-shaped unnormalized output
     (flash-attention identity: (e/l) @ v == (e @ v) * (1/l)).
+
+    When ``b_eff`` (the packed [3*H*D] QKV bias) is given, the bias never
+    touches the [S, 3*H*D] tensor: the k-bias is dropped outright (a
+    per-row-constant score shift, exactly invariant under softmax), the
+    q-bias rides the per-mask scale multiply as an FMA, and the v-bias is
+    added once to the normalized output (softmax weights sum to 1, so
+    w @ (v + bv) == w @ v + bv).
     """
     s = qkv.shape[0]
-    scale = head_dim ** -0.5
+    # log2(e) folded into the q scale: exp(x) == exp2(x*log2e), and the
+    # multiply rides the existing mask-scale pass for free (softmax
+    # weights are base-invariant once scores are pre-scaled)
+    log2e = 1.4426950408889634
+    scale = head_dim ** -0.5 * log2e
     hp = heads * head_dim
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
@@ -84,21 +95,31 @@ def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype):
         q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
         k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
         v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
+        if b_eff is not None:
+            bq2 = b_eff[p * PAIR_W:(p + 1) * PAIR_W].astype(jnp.float32)
+            bv2 = b_eff[2 * hp + p * PAIR_W:
+                        2 * hp + (p + 1) * PAIR_W].astype(jnp.float32)
         acc = jnp.zeros((s, PAIR_W), jnp.float32)
         for m in half_masks:
-            qm = q2 * (m * scale).astype(dot_dtype)
+            ms = (m * scale).astype(dot_dtype)
+            if b_eff is None:
+                qm = q2 * ms
+            else:
+                qm = q2 * ms + (bq2[None, :] * scale * m).astype(dot_dtype)
             sc = jax.lax.dot_general(
                 qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [S, S]
             if causal:
                 sc = jnp.where(causal_mask, sc, -1e30)
             mx = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp(sc - mx).astype(dot_dtype)
+            e = jnp.exp2(sc - mx).astype(dot_dtype)
             l = jnp.sum(e, axis=-1, keepdims=True,
                         dtype=jnp.float32)                   # [S, 1]
             o = jnp.dot(e, v2 * m.astype(dot_dtype),
                         preferred_element_type=jnp.float32)  # [S, PAIR_W]
             acc = acc + o * (1.0 / l)
+        if b_eff is not None:
+            acc = acc + bv2[None, :]
         out_cols.append(acc)
     return out_cols
 
@@ -121,11 +142,15 @@ def _block_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
         var = jnp.maximum(
             jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
         xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
-        qkv = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
-        qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(w_ref.dtype)
+        qkv = jnp.dot(xn, w_ref[:],
+                      preferred_element_type=jnp.float32).astype(w_ref.dtype)
 
+        # the packed QKV bias is applied inside _pair_attention without a
+        # [S, 3*H*D] pass (k-bias exactly dropped, q-bias FMA'd into the
+        # mask multiply, v-bias post-added)
         cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
-                               causal=causal, dot_dtype=w_ref.dtype)
+                               causal=causal, dot_dtype=w_ref.dtype,
+                               b_eff=b_ref[:])
         attn = jnp.concatenate(cols, axis=-1).astype(wo_ref.dtype)
         delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
         o_ref[j] = (xf + delta
