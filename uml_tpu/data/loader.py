@@ -27,7 +27,7 @@ class ImageBatchLoader:
 
     def __init__(self, items, augmentation="crop", batch_size=256,
                  num_workers=16, prefetch=4, seed=0, size=(224, 224),
-                 fast_decode=True):
+                 fast_decode=True, start_batch=0):
         self.items = items
         self.augmentation = augmentation
         self.batch_size = batch_size
@@ -35,6 +35,10 @@ class ImageBatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.size = size
+        # resume support: begin at this batch index (augmentation RNG is
+        # seeded per (seed, absolute batch index), so skipped batches cost
+        # nothing and later batches are bit-identical to a full replay)
+        self.start_batch = start_batch
         # native libjpeg IDCT-scaled decode (uml_tpu.native): ~2.3x PIL on
         # one core; only valid for the deterministic center-crop pipeline
         # and square targets; per-image PIL fallback covers non-JPEGs
@@ -65,19 +69,20 @@ class ImageBatchLoader:
         return imgs, labels, paths
 
     def __iter__(self):
+        s0 = self.start_batch
         batches = [
             self.items[i : i + self.batch_size]
             for i in range(0, len(self.items), self.batch_size)
-        ]
+        ][s0:]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             futures = []
             for idx, b in enumerate(batches[: self.prefetch]):
-                futures.append(pool.submit(self._decode_batch, b, idx))
+                futures.append(pool.submit(self._decode_batch, b, s0 + idx))
             for idx in range(len(batches)):
                 if idx + self.prefetch < len(batches):
                     futures.append(pool.submit(
                         self._decode_batch, batches[idx + self.prefetch],
-                        idx + self.prefetch))
+                        s0 + idx + self.prefetch))
                 yield futures[idx].result()
 
 
@@ -100,14 +105,31 @@ class RawImageStream:
         self.size = size
 
     def __iter__(self):
+        return self._iterate(0)
+
+    def skip(self, n_batches: int):
+        """Resume fast-forward: an iterator aligned with batch ``n_batches``
+        without decoding the skipped images.  Cost is one permutation draw
+        per skipped epoch (keeps the shuffle RNG stream identical to a
+        replay); subsequent batches are bit-identical."""
+        return self._iterate(n_batches)
+
+    def _iterate(self, skip_batches: int):
         epoch = 0
+        bpe = (len(self.items) + self.batch_size - 1) // self.batch_size
+        while skip_batches >= bpe:
+            self.rng.permutation(len(self.items))
+            epoch += 1
+            skip_batches -= bpe
         while True:
             order = self.rng.permutation(len(self.items))
             shuffled = [self.items[i] for i in order]
             loader = ImageBatchLoader(
                 shuffled, self.augmentation, self.batch_size,
                 num_workers=self.num_workers, seed=epoch, size=self.size,
-                fast_decode=self.augmentation == "crop")
+                fast_decode=self.augmentation == "crop",
+                start_batch=skip_batches)
+            skip_batches = 0
             for imgs, labels, _ in loader:
                 n = len(labels)
                 weights = np.ones(self.batch_size, np.float32)

@@ -32,7 +32,7 @@ import numpy as np
 
 from uml_tpu.ops.attention import dense_attention_bshd, multi_head_attention
 from uml_tpu.ops.fused_attention import ln_attn_block
-from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul
+from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul, ln_mlp_block
 from uml_tpu.ops.patch_embed import patch_embed_u8
 
 
@@ -181,11 +181,13 @@ class ResidualAttentionBlock(nn.Module):
                 x, return_params=True)
             fc_kernel, fc_bias = _DenseKernelBias(
                 self.width, 4 * self.width, name="c_fc")()
-            y = ln_matmul(x, ln2_scale, ln2_bias,
-                          fc_kernel.astype(self.dtype), fc_bias,
-                          activation="quick_gelu", impl=self.ln_matmul_impl)
-            return x + nn.Dense(self.width, dtype=self.dtype,
-                                name="c_proj")(y)
+            proj_kernel, proj_bias = _DenseKernelBias(
+                4 * self.width, self.width, name="c_proj")()
+            return ln_mlp_block(x, ln2_scale, ln2_bias,
+                                fc_kernel.astype(self.dtype), fc_bias,
+                                proj_kernel.astype(self.dtype), proj_bias,
+                                activation="quick_gelu",
+                                impl=self.ln_matmul_impl)
 
         qkv = ln_matmul(x, ln1_scale, ln1_bias,
                         qkv_kernel.astype(self.dtype), qkv_bias,

@@ -114,7 +114,7 @@ class DinoBlock(nn.Module):
         # identical to the flax-module version; the layerscale vector is
         # folded into the out-projection (attn@wo*ls == attn@(wo*ls)).
         from uml_tpu.ops.fused_attention import ln_attn_block
-        from uml_tpu.ops.ln_matmul import ln_matmul
+        from uml_tpu.ops.ln_matmul import ln_mlp_block
 
         ln1_scale, ln1_bias = _LNParams(dim, name="norm1")()
         qkv_kernel, qkv_bias = _DenseParams(dim, 3 * dim, name="qkv")()
@@ -131,14 +131,17 @@ class DinoBlock(nn.Module):
         ln2_scale, ln2_bias = _LNParams(dim, name="norm2")()
         fc1_kernel, fc1_bias = _DenseParams(dim, cfg.mlp_ratio * dim,
                                             name="fc1")()
-        y = ln_matmul(x, ln2_scale, ln2_bias,
-                      fc1_kernel.astype(self.dtype), fc1_bias,
-                      eps=cfg.ln_eps, activation="gelu_exact")
-        y = nn.Dense(dim, dtype=self.dtype, name="fc2")(y)
+        fc2_kernel, fc2_bias = _DenseParams(cfg.mlp_ratio * dim, dim,
+                                            name="fc2")()
         if cfg.layerscale:
+            # fold layerscale2 into fc2 (y@W2*ls == y@(W2*ls))
             ls2 = self.param("layerscale2", nn.initializers.ones, (dim,))
-            y = y * ls2.astype(y.dtype)
-        return x + y
+            fc2_kernel = fc2_kernel * ls2[None, :]
+            fc2_bias = fc2_bias * ls2
+        return ln_mlp_block(x, ln2_scale, ln2_bias,
+                            fc1_kernel.astype(self.dtype), fc1_bias,
+                            fc2_kernel.astype(self.dtype), fc2_bias,
+                            eps=cfg.ln_eps, activation="gelu_exact")
 
 
 class DinoViT(nn.Module):

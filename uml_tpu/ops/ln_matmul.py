@@ -61,7 +61,7 @@ def _ln_matmul_kernel(x_ref, w_ref, b_ref, o_ref, *,
     xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
     out = jnp.dot(xn, w_ref[:],
                   preferred_element_type=jnp.float32)       # [BN, M]
-    out = _ACTIVATIONS[activation](out + b_ref[:].astype(jnp.float32))
+    out = _KERNEL_ACTIVATIONS[activation](out + b_ref[:].astype(jnp.float32))
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -77,8 +77,132 @@ def _ln_matmul_kernel_3d(x_ref, w_ref, b_ref, o_ref, *,
             jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
         xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
         out = jnp.dot(xn, w_ref[:], preferred_element_type=jnp.float32)
-        out = _ACTIVATIONS[activation](out + b_ref[:].astype(jnp.float32))
+        out = _KERNEL_ACTIVATIONS[activation](out + b_ref[:].astype(jnp.float32))
         o_ref[j] = out.astype(o_ref.dtype)
+
+
+def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                      eps, activation):
+    """Whole MLP half-block, VMEM-resident: o = x + act(rawLN(x) @ w1 +
+    b1) @ w2 + b2.  The [S, 4K] hidden activation never exists in HBM
+    (619 MB/layer write + read at ViT-B/16 bs512), and the residual add
+    rides the same program.  LN scale/bias are pre-folded into w1/b1."""
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
+        y = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+        y = _KERNEL_ACTIVATIONS[activation](y + b1_ref[:].astype(jnp.float32))
+        y = y.astype(w2_ref.dtype)
+        out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+        o_ref[j] = (xf + out
+                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "activation",
+                                             "interpret"))
+def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
+    bsz, s, k = x.shape
+    m = w1.shape[1]
+    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    return pl.pallas_call(
+        functools.partial(_mlp_block_kernel, eps=eps, activation=activation),
+        grid=(bsz // g,),
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, k), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * s * k * m,
+            bytes_accessed=(2 * x.size * x.dtype.itemsize
+                            + 2 * w1.size * w1.dtype.itemsize),
+            transcendentals=bsz * s * m if activation else 0,
+        ),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+
+
+def _raw_mlp_block_reference(x, w1, b1, w2, b2, *, eps, activation):
+    """jnp twin of _mlp_block_kernel (post-fold form), for the custom_vjp."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1.dtype)
+    y = jnp.dot(xn, w1, preferred_element_type=jnp.float32)
+    y = _ACTIVATIONS[activation](y + b1.astype(jnp.float32)).astype(w2.dtype)
+    out = jnp.dot(y, w2, preferred_element_type=jnp.float32)
+    return (xf + out + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mlp_block(x, w1, b1, w2, b2, eps, activation):
+    interpret = jax.default_backend() == "cpu"
+    return _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret)
+
+
+def _mlp_block_vjp_fwd(x, w1, b1, w2, b2, eps, activation):
+    return (_mlp_block(x, w1, b1, w2, b2, eps, activation),
+            (x, w1, b1, w2, b2))
+
+
+def _mlp_block_vjp_bwd(eps, activation, res, g):
+    x, w1, b1, w2, b2 = res
+    _, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2: _raw_mlp_block_reference(
+            x, w1, b1, w2, b2, eps=eps, activation=activation),
+        x, w1, b1, w2, b2)
+    return vjp(g)
+
+
+_mlp_block.defvjp(_mlp_block_vjp_fwd, _mlp_block_vjp_bwd)
+
+
+def mlp_block_reference(x, scale, bias, w1, b1, w2, b2, *,
+                        eps: float = 1e-5, activation: str | None = None):
+    """jnp reference: x + act(LN(x) @ w1 + b1) @ w2 + b2."""
+    y = ln_matmul_reference(x, scale, bias, w1, b1, eps=eps,
+                            activation=activation)
+    out = jnp.dot(y.astype(w2.dtype), w2, preferred_element_type=jnp.float32)
+    return (x.astype(jnp.float32) + out
+            + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def supports_mlp_block(k: int, m: int) -> bool:
+    """Both weight matrices resident + per-group tiles must fit VMEM."""
+    return k % 128 == 0 and m % 128 == 0 and 2 * k * m * 2 <= 10 * 1024 * 1024
+
+
+def ln_mlp_block(x, scale, bias, w1, b1, w2, b2, *, eps: float = 1e-5,
+                 activation: str | None = None, impl: str = "auto"):
+    """x + act(LN(x) @ w1 + b1) @ w2 + b2: the MLP half of a pre-LN
+    residual block in one Pallas program per batch group.
+
+    Complements ops.fused_attention.ln_attn_block — together a ViT layer
+    is exactly two Pallas programs and zero intermediate HBM tensors.
+    """
+    k = x.shape[-1]
+    m = w1.shape[-1]
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and x.ndim == 3 and w2.shape == (m, k)
+                and supports_mlp_block(k, m) else "reference")
+    if impl == "pallas":
+        from uml_tpu.ops.fused_attention import fold_ln_into_matmul
+
+        w1_eff, b1_eff = fold_ln_into_matmul(scale, bias, w1, b1)
+        return _mlp_block(x, w1_eff, b1_eff, w2, b2, eps, activation)
+    return mlp_block_reference(x, scale, bias, w1, b1, w2, b2, eps=eps,
+                               activation=activation)
 
 
 def _quick_gelu_f32(x):
@@ -90,8 +214,28 @@ def _gelu_exact_f32(x):
     return x * 0.5 * (1.0 + jax.lax.erf(x * (2.0 ** -0.5)))
 
 
+def _erf_poly(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7): Mosaic has
+    no erf lowering, and 1.5e-7 is far below the bf16 activations the
+    kernels carry."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact_kernel(x):
+    return x * 0.5 * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+
+
+# reference (jnp) table: XLA-exact erf
 _ACTIVATIONS = {None: lambda x: x, "quick_gelu": _quick_gelu_f32,
                 "gelu_exact": _gelu_exact_f32}
+# in-kernel table: identical except erf -> polynomial (no Mosaic erf)
+_KERNEL_ACTIVATIONS = {None: lambda x: x, "quick_gelu": _quick_gelu_f32,
+                       "gelu_exact": _gelu_exact_kernel}
 
 
 def _add_ln_matmul_kernel(x_ref, d_ref, scale_ref, bias_ref, w_ref, b_ref,
@@ -109,7 +253,7 @@ def _add_ln_matmul_kernel(x_ref, d_ref, scale_ref, bias_ref, w_ref, b_ref,
     out = jnp.dot(xn.astype(w_ref.dtype), w_ref[:],
                   preferred_element_type=jnp.float32)
     out = out + b_ref[:].astype(jnp.float32)
-    out = _ACTIVATIONS[activation](out)
+    out = _KERNEL_ACTIVATIONS[activation](out)
     o_ref[:] = out.astype(o_ref.dtype)
 
 

@@ -58,11 +58,24 @@ class CyclicBatcher:
         self.rng = np.random.default_rng(seed)
 
     def __iter__(self) -> Iterator:
+        return self._iterate(0)
+
+    def skip(self, n_batches: int) -> Iterator:
+        """Resume fast-forward: an iterator aligned with batch ``n_batches``
+        without gathering the skipped batches (one permutation draw per
+        skipped epoch keeps the RNG stream replay-identical)."""
+        return self._iterate(n_batches)
+
+    def _iterate(self, skip_batches: int) -> Iterator:
         n = len(self.inputs)
         bs = self.batch_size
+        bpe = (n + bs - 1) // bs
+        while skip_batches >= bpe:
+            self.rng.permutation(n)
+            skip_batches -= bpe
         while True:
             perm = self.rng.permutation(n)
-            for i in range(0, n, bs):
+            for i in range(skip_batches * bs, n, bs):
                 idx = perm[i : i + bs]
                 pad = bs - len(idx)
                 weights = np.ones(bs, np.float32)
@@ -70,6 +83,19 @@ class CyclicBatcher:
                     weights[len(idx):] = 0.0
                     idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
                 yield self.inputs[idx], self.labels[idx], weights
+            skip_batches = 0
+
+
+def _fast_forward(stream, it, n_batches: int):
+    """Advance a batch stream by n_batches: O(epochs) via stream.skip()
+    when available (CyclicBatcher, RawImageStream), else replay."""
+    if n_batches <= 0:
+        return it
+    if hasattr(stream, "skip"):
+        return stream.skip(n_batches)
+    for _ in range(n_batches):
+        next(it)
+    return it
 
 
 def eval_batches(inputs, labels, batch_size):
@@ -288,12 +314,14 @@ def train(
                            val_acc=float(state["best_val_acc"]),
                            val_loss=float(state["best_val_loss"]),
                            model=jax.tree.map(np.asarray, state["best_params"]))
-            # fast-forward the data streams to keep batch order aligned
-            for _ in range(start_iter):
-                if has_image:
-                    next(image_iter)
-                if has_text:
-                    next(text_iter)
+            # fast-forward the data streams to keep batch order aligned;
+            # streams with a .skip() do it in O(epochs) without touching
+            # the skipped batches (no image decode on long resumes)
+            if has_image:
+                image_iter = _fast_forward(image_stream, image_iter,
+                                           start_iter)
+            if has_text:
+                text_iter = _fast_forward(text_stream, text_iter, start_iter)
 
     def save_ckpt(i):
         if not (ckpt_on and ckpt_every and (i + 1) % ckpt_every == 0):
