@@ -111,3 +111,72 @@ def test_supports_gate():
     assert not supports_fused_attention(768, 12, 192, 197)  # head too wide
     assert not supports_fused_attention(768, 11, 64, 197)   # odd head count
     assert not supports_fused_attention(60, 5, 12, 50)  # MultiBench dims
+
+
+def test_block_cls_kernel_matches_reference():
+    """CLS-only final block: first CLS_ROWS rows equal the full block's."""
+    from uml_tpu.ops.fused_attention import CLS_ROWS, _block_cls_fwd
+
+    rng = np.random.default_rng(5)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    got = _block_cls_fwd(x, w_eff, b_eff, wo, bo, 1e-5, heads, d, True)
+    assert got.shape == (x.shape[0], CLS_ROWS, x.shape[-1])
+    want = ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                   heads=heads, causal=False)[:, :CLS_ROWS]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_block_cls_grads_flow_through_custom_vjp():
+    """Grads reach every input (k/v rows beyond CLS_ROWS still matter)."""
+    from uml_tpu.ops.fused_attention import CLS_ROWS, ln_attn_block_cls
+
+    rng = np.random.default_rng(6)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.zeros(x.shape[-1], jnp.float32)
+
+    def loss(x, kernel, wo):
+        out = ln_attn_block_cls(x, scale, bias, kernel, kbias, wo, bo,
+                                heads=heads)
+        return (out[:, 0] ** 2).sum()
+
+    gx, gk, gw = jax.grad(loss, argnums=(0, 1, 2))(x, kernel, wo)
+    for g in (gx, gk, gw):
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+    # the CLS token attends over all rows: late rows of x get gradient
+    assert float(jnp.abs(gx[:, CLS_ROWS:]).sum()) > 0
+
+
+def test_clip_cls_only_matches_full_token_path():
+    """encode_image (CLS-only last block) == pooled return_tokens path."""
+    from uml_tpu.models.clip import CLIP, ClipConfig
+
+    cfg = ClipConfig(embed_dim=64, image_resolution=32, vision_layers=2,
+                     vision_width=128, vision_patch_size=16,
+                     transformer_width=128, transformer_heads=2,
+                     transformer_layers=2)
+    model = CLIP(cfg, dtype=jnp.float32)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3), jnp.float32),
+                   jnp.zeros((1, 77), jnp.int32))
+    imgs = jnp.asarray(np.random.default_rng(7).standard_normal((2, 32, 32, 3)),
+                       jnp.float32)
+    feats = model.apply(v, imgs, method=lambda m, x: m.encode_image(x))
+    toks = model.apply(v, imgs,
+                       method=lambda m, x: m.encode_image(x, return_tokens=True))
+    p = v["params"]["visual"]
+    x0 = np.asarray(toks)[:, 0, :].astype(np.float32)
+    mu = x0.mean(-1, keepdims=True)
+    var = np.maximum((x0 * x0).mean(-1, keepdims=True) - mu * mu, 0)
+    xn = ((x0 - mu) / np.sqrt(var + 1e-5) * np.asarray(p["ln_post"]["ln"]["scale"])
+          + np.asarray(p["ln_post"]["ln"]["bias"]))
+    want = xn @ np.asarray(p["proj"])
+    np.testing.assert_allclose(np.asarray(feats), want, atol=1e-4, rtol=1e-4)

@@ -3,8 +3,11 @@
 Usage: python tools/profile_clip_forward.py [trace_dir]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.ops.attention import dense_attention_bshd, multi_head_attention
-from uml_tpu.ops.fused_attention import ln_attn_block
+from uml_tpu.ops.fused_attention import (CLS_ROWS, ln_attn_block,
+                                         ln_attn_block_cls)
 from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul, ln_mlp_block
 from uml_tpu.ops.patch_embed import patch_embed_u8
 
@@ -154,7 +155,10 @@ class ResidualAttentionBlock(nn.Module):
     ln_matmul_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, causal: bool = False):
+    def __call__(self, x, causal: bool = False, cls_only: bool = False):
+        """``cls_only``: compute only the first CLS_ROWS output rows (the
+        final block of an encode-image path, where only the CLS token is
+        consumed).  Row 0 equals the full block's row 0."""
         b, s, _ = x.shape
         h = self.heads
         d = self.width // h
@@ -173,10 +177,16 @@ class ResidualAttentionBlock(nn.Module):
             # scores, and the attention tile never exist in HBM)
             out_kernel, out_bias = _DenseKernelBias(
                 self.width, self.width, name="out_proj")()
-            x = ln_attn_block(
-                x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
-                qkv_bias, out_kernel.astype(self.dtype), out_bias,
-                heads=h, causal=causal, impl=self.ln_matmul_impl)
+            if cls_only and not causal:
+                x = ln_attn_block_cls(
+                    x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
+                    qkv_bias, out_kernel.astype(self.dtype), out_bias,
+                    heads=h, impl=self.ln_matmul_impl)
+            else:
+                x = ln_attn_block(
+                    x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
+                    qkv_bias, out_kernel.astype(self.dtype), out_bias,
+                    heads=h, causal=causal, impl=self.ln_matmul_impl)
             ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
                 x, return_params=True)
             fc_kernel, fc_bias = _DenseKernelBias(
@@ -217,7 +227,8 @@ class ResidualAttentionBlock(nn.Module):
         x, y = add_ln_matmul(x, delta, ln2_scale, ln2_bias,
                              fc_kernel.astype(self.dtype), fc_bias,
                              gelu=True, impl=self.ln_matmul_impl)
-        return x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
+        out = x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(y)
+        return out[:, :CLS_ROWS] if cls_only else out
 
 
 class Transformer(nn.Module):
@@ -229,12 +240,16 @@ class Transformer(nn.Module):
     ln_matmul_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, causal: bool = False):
+    def __call__(self, x, causal: bool = False, cls_only_last: bool = False):
+        """``cls_only_last``: the final block computes only the first
+        CLS_ROWS rows — for encode-image paths that keep just the CLS
+        token (row 0 is identical to the full computation)."""
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, self.dtype, self.attn_impl,
                 self.ln_matmul_impl, name=f"resblocks_{i}",
-            )(x, causal=causal)
+            )(x, causal=causal,
+              cls_only=cls_only_last and i == self.layers - 1)
         return x
 
 
@@ -293,7 +308,7 @@ class VisionTransformer(nn.Module):
             cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
             self.dtype, self.attn_impl, self.ln_matmul_impl,
             name="transformer",
-        )(x)
+        )(x, cls_only_last=not return_tokens)
 
         if return_tokens:
             return x  # [B, g^2+1, W] patch tokens incl. CLS (model.py:231-232)

@@ -100,7 +100,9 @@ class DinoBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cls_only: bool = False):
+        """``cls_only``: compute only the first CLS_ROWS output rows (the
+        final block of a token-pooled forward; row 0 == full block row 0)."""
         cfg = self.config
         b, s, _ = x.shape
         h = cfg.num_heads
@@ -113,7 +115,7 @@ class DinoBlock(nn.Module):
         # program, then LN+fc1+exact-GELU in another.  Param tree is
         # identical to the flax-module version; the layerscale vector is
         # folded into the out-projection (attn@wo*ls == attn@(wo*ls)).
-        from uml_tpu.ops.fused_attention import ln_attn_block
+        from uml_tpu.ops.fused_attention import ln_attn_block, ln_attn_block_cls
         from uml_tpu.ops.ln_matmul import ln_mlp_block
 
         ln1_scale, ln1_bias = _LNParams(dim, name="norm1")()
@@ -123,10 +125,16 @@ class DinoBlock(nn.Module):
             ls1 = self.param("layerscale1", nn.initializers.ones, (dim,))
             out_kernel = out_kernel * ls1[None, :]
             out_bias = out_bias * ls1
-        x = ln_attn_block(x, ln1_scale, ln1_bias,
-                          qkv_kernel.astype(self.dtype), qkv_bias,
-                          out_kernel.astype(self.dtype), out_bias,
-                          heads=h, eps=cfg.ln_eps)
+        if cls_only:
+            x = ln_attn_block_cls(x, ln1_scale, ln1_bias,
+                                  qkv_kernel.astype(self.dtype), qkv_bias,
+                                  out_kernel.astype(self.dtype), out_bias,
+                                  heads=h, eps=cfg.ln_eps)
+        else:
+            x = ln_attn_block(x, ln1_scale, ln1_bias,
+                              qkv_kernel.astype(self.dtype), qkv_bias,
+                              out_kernel.astype(self.dtype), out_bias,
+                              heads=h, eps=cfg.ln_eps)
 
         ln2_scale, ln2_bias = _LNParams(dim, name="norm2")()
         fc1_kernel, fc1_bias = _DenseParams(dim, cfg.mlp_ratio * dim,
@@ -168,8 +176,10 @@ class DinoViT(nn.Module):
             axis=1)
         x = x + pos.astype(x.dtype)
 
+        cls_only_last = not return_tokens and pool == "token"
         for i in range(cfg.num_layers):
-            x = DinoBlock(cfg, self.dtype, name=f"blocks_{i}")(x)
+            x = DinoBlock(cfg, self.dtype, name=f"blocks_{i}")(
+                x, cls_only=cls_only_last and i == cfg.num_layers - 1)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
                          name="norm")(x.astype(jnp.float32))

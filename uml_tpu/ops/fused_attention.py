@@ -58,16 +58,39 @@ def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
         o_ref[:, p * PAIR_W:(p + 1) * PAIR_W] = out.astype(o_ref.dtype)
 
 
-def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype, b_eff=None):
-    """Per-head-pair attention on a VMEM-resident packed qkv [S, 3*H*D].
+NOMAX_CLAMP = 96.0  # exp2 argument cap; raw attention logit 96/log2(e) = 66.5
 
-    Returns the [S, H*D] attention output as a list of [S, PAIR_W] fp32
-    columns (one per pair).  Softmax is three passes over the [S, S]
-    scores instead of the naive seven: the 1/sqrt(D) scale is folded into
-    the per-head q mask (0.125 is exact in bf16), the exp is written
-    straight in the dot dtype, and normalization happens AFTER the
-    attention-value dot on the [S, D]-shaped unnormalized output
-    (flash-attention identity: (e/l) @ v == (e @ v) * (1/l)).
+
+def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype, b_eff=None):
+    """Packed-qkv entry point: q/k/v live at column offsets 0/H*D/2*H*D."""
+    hp = heads * head_dim
+    return _pair_attention_split(
+        qkv, 0, qkv, hp, qkv, 2 * hp, heads=heads, head_dim=head_dim,
+        causal=causal, dot_dtype=dot_dtype, b_eff=b_eff)
+
+
+def _pair_attention_split(q_arr, q_off, k_arr, k_off, v_arr, v_off, *,
+                          heads, head_dim, causal, dot_dtype, b_eff=None):
+    """Per-head-pair attention on VMEM-resident q/k/v column blocks.
+
+    ``q_arr``/``k_arr``/``v_arr`` hold the per-head columns starting at
+    the given column offsets (the packed [S, 3*H*D] qkv passes itself
+    three times; the CLS-only kernel passes a short q and a [S, 2*H*D]
+    kv).  Returns the [Sq, H*D] attention output as a list of
+    [Sq, PAIR_W] fp32 columns (one per pair).
+
+    Softmax is two passes over the [Sq, S] scores instead of the naive
+    seven: the 1/sqrt(D) scale is folded into the per-head q mask (0.125
+    is exact in bf16), the exp is written straight in the dot dtype, and
+    normalization happens AFTER the attention-value dot on the [Sq, D]
+    unnormalized output (flash identity: (e/l) @ v == (e @ v) * (1/l)).
+    The non-causal path skips the row-max subtraction entirely
+    (exp2(sc) / sum(exp2(sc)) is the same softmax): CLIP/DINO attention
+    logits are O(10), and NOMAX_CLAMP caps the exp2 argument so fp32
+    can't overflow before logits reach 66 — far beyond anything a sane
+    checkpoint produces (measured gain: 0.2 ms/layer at ViT-B/16 bs512).
+    The causal (text) path keeps the exact row max: masked rows put -1e30
+    in the lanes and a fresh head could make every unmasked score large.
 
     When ``b_eff`` (the packed [3*H*D] QKV bias) is given, the bias never
     touches the [S, 3*H*D] tensor: the k-bias is dropped outright (a
@@ -76,7 +99,8 @@ def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype, b_eff=None):
     added once to the normalized output (softmax weights sum to 1, so
     w @ (v + bv) == w @ v + bv).
     """
-    s = qkv.shape[0]
+    sq = q_arr.shape[0]
+    s = k_arr.shape[0]
     # log2(e) folded into the q scale: exp(x) == exp2(x*log2e), and the
     # multiply rides the existing mask-scale pass for free (softmax
     # weights are base-invariant once scores are pre-scaled)
@@ -84,22 +108,22 @@ def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype, b_eff=None):
     scale = head_dim ** -0.5 * log2e
     hp = heads * head_dim
     if causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        causal_mask = cols <= rows
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sq, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sq, s), 1)
+        causal_mask = cols <= rows + (s - sq)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
     half_masks = ((lane < head_dim).astype(jnp.float32),
                   (lane >= head_dim).astype(jnp.float32))
     out_cols = []
     for p in range(heads // 2):
-        q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
-        k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
-        v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
+        q2 = q_arr[:, q_off + p * PAIR_W: q_off + (p + 1) * PAIR_W]
+        k2 = k_arr[:, k_off + p * PAIR_W: k_off + (p + 1) * PAIR_W]
+        v2 = v_arr[:, v_off + p * PAIR_W: v_off + (p + 1) * PAIR_W]
         if b_eff is not None:
             bq2 = b_eff[p * PAIR_W:(p + 1) * PAIR_W].astype(jnp.float32)
             bv2 = b_eff[2 * hp + p * PAIR_W:
                         2 * hp + (p + 1) * PAIR_W].astype(jnp.float32)
-        acc = jnp.zeros((s, PAIR_W), jnp.float32)
+        acc = jnp.zeros((sq, PAIR_W), jnp.float32)
         for m in half_masks:
             ms = (m * scale).astype(dot_dtype)
             if b_eff is None:
@@ -108,15 +132,17 @@ def _pair_attention(qkv, *, heads, head_dim, causal, dot_dtype, b_eff=None):
                 qm = q2 * ms + (bq2[None, :] * scale * m).astype(dot_dtype)
             sc = jax.lax.dot_general(
                 qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # [S, S]
+                preferred_element_type=jnp.float32)          # [Sq, S]
             if causal:
                 sc = jnp.where(causal_mask, sc, -1e30)
-            mx = jnp.max(sc, axis=-1, keepdims=True)
-            e = jnp.exp2(sc - mx).astype(dot_dtype)
+                mx = jnp.max(sc, axis=-1, keepdims=True)
+                e = jnp.exp2(sc - mx).astype(dot_dtype)
+            else:
+                e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP)).astype(dot_dtype)
             l = jnp.sum(e, axis=-1, keepdims=True,
-                        dtype=jnp.float32)                   # [S, 1]
+                        dtype=jnp.float32)                   # [Sq, 1]
             o = jnp.dot(e, v2 * m.astype(dot_dtype),
-                        preferred_element_type=jnp.float32)  # [S, PAIR_W]
+                        preferred_element_type=jnp.float32)  # [Sq, PAIR_W]
             acc = acc + o * (1.0 / l)
         if b_eff is not None:
             acc = acc + bv2[None, :]
@@ -154,6 +180,44 @@ def _block_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
         attn = jnp.concatenate(cols, axis=-1).astype(wo_ref.dtype)
         delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
         o_ref[j] = (xf + delta
+                    + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+CLS_ROWS = 8  # minimum sublane tile; row 0 (the CLS token) is what's used
+
+
+def _block_cls_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref, o_ref, *,
+                      eps, heads, head_dim):
+    """Attention half-block computing only the first CLS_ROWS query rows.
+
+    For CLIP/DINO feature extraction the network's output is the CLS
+    token alone, so the last block's queries beyond row 0 are dead work:
+    k/v still need every row (the CLS token attends over all patches),
+    but the scores drop from [S, S] to [8, S], and the out-projection,
+    residual, and downstream MLP shrink 197 -> 8 rows (~6% of the whole
+    ViT-B/16 forward).  The QKV matmul splits into a [K, 2*H*D] kv dot
+    over all rows and a [K, H*D] q dot over the first 8, saving the
+    other 189 q rows too.  Output rows beyond 0 are real attention
+    outputs for patch tokens 1..7 (unused, sublane padding)."""
+    hp = heads * head_dim
+    w_q = w_ref[:, :hp]
+    w_kv = w_ref[:, hp:]
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)                    # [S, K]
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+        kv = jnp.dot(xn, w_kv,
+                     preferred_element_type=jnp.float32).astype(w_ref.dtype)
+        q8 = jnp.dot(xn[:CLS_ROWS], w_q,
+                     preferred_element_type=jnp.float32).astype(w_ref.dtype)
+        cols = _pair_attention_split(
+            q8, 0, kv, 0, kv, hp, heads=heads, head_dim=head_dim,
+            causal=False, dot_dtype=w_ref.dtype, b_eff=b_ref[:])
+        attn = jnp.concatenate(cols, axis=-1).astype(wo_ref.dtype)
+        delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        o_ref[j] = (xf[:CLS_ROWS] + delta
                     + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
@@ -207,6 +271,42 @@ def _block_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
             bytes_accessed=(2 * x.size * x.dtype.itemsize
                             + (w_eff.size + wo.size) * w_eff.dtype.itemsize),
             transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, w_eff, b_eff, wo, bo)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "interpret"))
+def _block_cls_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
+                   interpret):
+    bsz, s, k = x.shape
+    m3 = w_eff.shape[1]
+    hd = heads * head_dim
+    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    return pl.pallas_call(
+        functools.partial(_block_cls_kernel, eps=eps, heads=heads,
+                          head_dim=head_dim),
+        grid=(bsz // g,),
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, CLS_ROWS, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, CLS_ROWS, k), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * (m3 - hd) + 2 * bsz * CLS_ROWS * k * hd
+                   + 4 * bsz * heads * CLS_ROWS * s * head_dim
+                   + 2 * bsz * CLS_ROWS * hd * k),
+            bytes_accessed=(x.size * x.dtype.itemsize
+                            + bsz * CLS_ROWS * k * x.dtype.itemsize
+                            + (w_eff.size + wo.size) * w_eff.dtype.itemsize),
+            transcendentals=bsz * heads * CLS_ROWS * s,
         ),
         interpret=interpret,
     )(x, w_eff, b_eff, wo, bo)
@@ -339,6 +439,57 @@ def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
 
 
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_block_cls(x, w_eff, b_eff, wo, bo, heads, head_dim, eps):
+    interpret = jax.default_backend() == "cpu"
+    return _block_cls_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
+                          interpret)
+
+
+def _fused_block_cls_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, eps):
+    return (_fused_block_cls(x, w_eff, b_eff, wo, bo, heads, head_dim, eps),
+            (x, w_eff, b_eff, wo, bo))
+
+
+def _fused_block_cls_bwd(heads, head_dim, eps, res, g):
+    x, w_eff, b_eff, wo, bo = res
+    _, vjp = jax.vjp(
+        lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
+            x, w_eff, b_eff, wo, bo, heads=heads, causal=False,
+            eps=eps)[:, :CLS_ROWS],
+        x, w_eff, b_eff, wo, bo)
+    return vjp(g)
+
+
+_fused_block_cls.defvjp(_fused_block_cls_fwd, _fused_block_cls_bwd)
+
+
+def ln_attn_block_cls(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
+                      eps: float = 1e-5, impl: str = "auto"):
+    """(x + MHA(LN(x)) @ wo + bo)[:, :CLS_ROWS]: the attention half of the
+    FINAL pre-LN block when only the CLS token is consumed downstream
+    (encode_image without return_tokens, engine/clip/model.py:231-239).
+
+    Row 0 matches ln_attn_block's row 0 exactly (same dots, same
+    contraction order); rows 1..7 are sublane padding.  Non-causal only.
+    """
+    k = x.shape[-1]
+    d = kernel.shape[1] // (3 * heads)
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and x.ndim == 3
+                and heads * d == wo.shape[0] and wo.shape[1] == k
+                and supports_fused_attention(k, heads, d, x.shape[1],
+                                             with_proj=True)
+                else "reference")
+    if impl == "pallas":
+        w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+        return _fused_block_cls(x, w_eff, b_eff, wo, bo, heads, d, eps)
+    return ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                   heads=heads, causal=False,
+                                   eps=eps)[:, :CLS_ROWS]
 
 
 def fold_ln_into_matmul(scale, bias, kernel, kbias):

@@ -86,19 +86,24 @@ def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     """Whole MLP half-block, VMEM-resident: o = x + act(rawLN(x) @ w1 +
     b1) @ w2 + b2.  The [S, 4K] hidden activation never exists in HBM
     (619 MB/layer write + read at ViT-B/16 bs512), and the residual add
-    rides the same program.  LN scale/bias are pre-folded into w1/b1."""
-    for j in range(x_ref.shape[0]):
-        xf = x_ref[j].astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
-        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
-        y = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
-        y = _KERNEL_ACTIVATIONS[activation](y + b1_ref[:].astype(jnp.float32))
-        y = y.astype(w2_ref.dtype)
-        out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
-        o_ref[j] = (xf + out
-                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    rides the same program.  LN scale/bias are pre-folded into w1/b1.
+
+    Every op here is row-wise, so the G batch entries collapse into one
+    [G*S, K] slab: one big dot per matmul instead of G small ones, and
+    the MXU sublane padding amortizes (197 -> 208 rows is 5.6% waste per
+    image; 4*197 -> 800 is 1.5%)."""
+    g, s, k = x_ref.shape
+    xf = x_ref[:].reshape(g * s, k).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
+    y = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+    y = _KERNEL_ACTIVATIONS[activation](y + b1_ref[:].astype(jnp.float32))
+    y = y.astype(w2_ref.dtype)
+    out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+    out = (xf + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[:] = out.reshape(g, s, k)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
