@@ -98,6 +98,45 @@ def pipeline_bench(extract_sum, variables):
     return pipe_rate, decode_rate
 
 
+def train_bench(model, variables):
+    """Full-model finetune step (fwd+bwd+adamw through the ViT tower) —
+    the reference's flagship training path (finetune.py:120-288 with
+    full_ds_full_model_finetune).  bs128 matches its hyper grid."""
+    import optax
+
+    b = 128
+    rng = np.random.default_rng(0)
+    u8 = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (b, 224 * 224 * 3), dtype=np.uint8)))
+    labels = jnp.asarray(rng.integers(0, 100, (b,)), jnp.int32)
+    head = jnp.asarray(rng.standard_normal((512, 100)) * 0.01, jnp.float32)
+    params = variables["params"]
+    tx = optax.adamw(1e-5)
+    opt = tx.init(params)
+
+    def loss_fn(p, u8, labels):
+        feats = model.apply({"params": p}, u8,
+                            method=lambda m, x: m.encode_image_u8(x))
+        logits = feats @ head
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    @jax.jit
+    def step(p, o, u8, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, u8, labels)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    p, o, l = step(params, opt, u8, labels)
+    float(l)  # compile + sync
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        p, o, l = step(p, o, u8, labels)
+    float(l)
+    return b * iters / (time.time() - t0)
+
+
 def main():
     # UML_ATTN lets perf experiments A/B attention layouts without edits
     model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
@@ -112,12 +151,14 @@ def main():
 
     img_per_s = device_bench(extract_sum, variables)
     pipe_rate, decode_rate = pipeline_bench(extract_pipe, variables)
+    train_rate = train_bench(model, variables)
 
     record = {
         "metric": "clip_vitb16_feature_extraction_throughput",
         "value": round(img_per_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
+        "train_full_finetune_img_per_s": round(train_rate, 1),
     }
     if pipe_rate is not None:
         record["pipeline_img_per_s"] = round(pipe_rate, 1)

@@ -180,3 +180,39 @@ def test_clip_cls_only_matches_full_token_path():
           + np.asarray(p["ln_post"]["ln"]["bias"]))
     want = xn @ np.asarray(p["proj"])
     np.testing.assert_allclose(np.asarray(feats), want, atol=1e-4, rtol=1e-4)
+
+
+def test_block_bwd_kernel_matches_reference_vjp():
+    """Hand-written Pallas backward == jax.vjp of the jnp twin
+    (interpret mode; dw/db assembled the way _fused_block_bwd does)."""
+    from uml_tpu.ops.fused_attention import (_block_bwd_call,
+                                             _raw_block_reference)
+
+    rng = np.random.default_rng(8)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+
+    out, vjp = jax.vjp(
+        lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
+            x, w_eff, b_eff, wo, bo, heads=heads, causal=False, eps=1e-5),
+        x, w_eff, b_eff, wo, bo)
+    g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    want = vjp(g)
+
+    dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5,
+                                         heads, d, True)
+    nums = (((0, 1), (0, 1)), ((), ()))
+    got = (dx,
+           jax.lax.dot_general(xn, dqkv, nums),
+           jnp.sum(dqkv, axis=(0, 1)),
+           jax.lax.dot_general(attn, g, nums),
+           jnp.sum(g, axis=(0, 1)))
+    for name, a, b in zip(("dx", "dw_eff", "db_eff", "dwo", "dbo"),
+                          got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=name)
