@@ -19,9 +19,11 @@ their own lanes.  No padded weights (a first version padded D 64->128 and
 doubled the QKV matmul FLOPs — measured +1.9 ms/layer), and the output is
 the reference [B, S, H*D] layout straight into the standard out-proj.
 
-Backward: custom_vjp recomputing through the jnp reference (exact,
-XLA-fused; these models train at reference scale, extraction is the
-throughput path).
+Backward: the non-causal half-block has a hand-written flash-style Pallas
+backward (_block_bwd_kernel) — XLA's autodiff of the twin materialized
+per-head [S, S] probabilities in HBM and ran the softmax backward as
+unfused passes.  The causal and standalone-attention paths keep the
+custom_vjp jnp-twin recompute (frozen text towers; cold paths).
 
 Reference analog: torch nn.MultiheadAttention inside the vendored CLIP
 (engine/clip/model.py:171) — fp16 end to end, so fp32 LN/softmax
