@@ -130,15 +130,17 @@ def test_validate_counts_only_real_samples():
     assert 0.0 <= acc <= 1.0
 
 
-@pytest.mark.slow
-def test_finetune_cli_end_to_end(tmp_path):
-    """Full CLI path on a synthetic fixture with random-init ViT-B/32."""
+def run_finetune_cli_e2e(root, encoder="ViT-B/32"):
+    """generate_fewshot -> features -> finetune CLIs on the synthetic
+    caltech fixture with a random-init encoder.  Shared by this test and
+    tools/tpu_smoke.py (which drives the same flow on the live backend)
+    so CLI-flag changes only need one update.
+    Returns (results, best_val, best_test)."""
     from tests.test_data_fewshot import make_caltech_fixture
+    from uml_tpu.cli import features as feat
     from uml_tpu.cli import finetune as ft
     from uml_tpu.cli import generate_fewshot as gf
-    from uml_tpu.cli import features as feat
 
-    root = str(tmp_path)
     make_caltech_fixture(root)
     gf.main(gf.build_parser().parse_args([
         "--data_dir", root, "--indices_dir", f"{root}/indices",
@@ -146,7 +148,7 @@ def test_finetune_cli_end_to_end(tmp_path):
 
     common = ["--data_dir", root, "--indices_dir", f"{root}/indices",
               "--feature_dir", f"{root}/features", "--dataset", "caltech101",
-              "--clip-encoder", "ViT-B/32", "--train-shot", "3", "--seed", "1",
+              "--clip-encoder", encoder, "--train-shot", "3", "--seed", "1",
               "--allow-random-init"]
     args = feat.build_parser().parse_args(
         common + ["--text-augmentation", "hand_crafted", "--batch-size", "16"])
@@ -160,7 +162,14 @@ def test_finetune_cli_end_to_end(tmp_path):
                   "--alpha", "0.5", "--hyperparams", "smoke"])
     args.overwrite = False
     args.force_rerun = False
-    results, best_val, best_test = ft.main(args)
+    return ft.main(args)
+
+
+@pytest.mark.slow
+def test_finetune_cli_end_to_end(tmp_path):
+    """Full CLI path on a synthetic fixture with random-init ViT-B/32."""
+    root = str(tmp_path)
+    results, best_val, best_test = run_finetune_cli_e2e(root)
     assert 0.0 <= best_val <= 1.0 and len(results["val_acc"]) == 1
 
     # artifacts in the reference scheme
@@ -172,14 +181,8 @@ def test_finetune_cli_end_to_end(tmp_path):
     assert len(sub) == 1
     assert os.path.exists(f"{exp}/{sub[0]}/test_result.pth")
 
-    # idempotent rerun skips
-    args = ft.build_parser().parse_args(
-        common + ["--result_dir", f"{root}/experiments",
-                  "--text_type", "hand_crafted", "--modality", "crossmodal",
-                  "--alpha", "0.5", "--hyperparams", "smoke"])
-    args.overwrite = False
-    args.force_rerun = False
-    ft.main(args)
+    # idempotent rerun skips (features .pth and test_result.pth exist)
+    run_finetune_cli_e2e(root)
 
     # collect_results reads the artifacts
     from uml_tpu.cli.collect_results import collect_results

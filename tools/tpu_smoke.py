@@ -24,38 +24,15 @@ import jax
 
 
 def smoke_vision_language(tmp):
-    from tests.test_data_fewshot import make_caltech_fixture
-    from uml_tpu.cli import features as feat
-    from uml_tpu.cli import finetune as ft
-    from uml_tpu.cli import generate_fewshot as gf
+    # same flow as tests/test_supervised.py::test_finetune_cli_end_to_end,
+    # shared through run_finetune_cli_e2e so CLI-flag changes stay in sync
+    from tests.test_supervised import run_finetune_cli_e2e
 
     root = os.path.join(tmp, "vl")
     os.makedirs(root)
-    make_caltech_fixture(root)
-    gf.main(gf.build_parser().parse_args([
-        "--data_dir", root, "--indices_dir", f"{root}/indices",
-        "--dataset", "caltech101", "--train-shot", "3", "--seed", "1"]))
-
-    common = ["--data_dir", root, "--indices_dir", f"{root}/indices",
-              "--feature_dir", f"{root}/features", "--dataset", "caltech101",
-              "--clip-encoder", "ViT-B/32", "--train-shot", "3", "--seed",
-              "1", "--allow-random-init"]
-    args = feat.build_parser().parse_args(
-        common + ["--text-augmentation", "hand_crafted",
-                  "--batch-size", "16"])
-    args.overwrite = False
-    args.force_rerun = False
-    feat.main(args)
-
-    args = ft.build_parser().parse_args(
-        common + ["--result_dir", f"{root}/experiments",
-                  "--text_type", "hand_crafted", "--modality", "crossmodal",
-                  "--alpha", "0.5", "--hyperparams", "smoke"])
-    args.overwrite = False
-    args.force_rerun = False
-    _, best_val, best_test = ft.main(args)
+    _, best_val, best_test = run_finetune_cli_e2e(root)
     assert best_val > 1 / 3, f"did not learn past chance: {best_val}"
-    print(f"[1/3] vision_language finetune e2e: "
+    print(f"[3/3] vision_language finetune e2e: "
           f"val={best_val:.3f} test={best_test:.3f} OK")
 
 
@@ -68,7 +45,7 @@ def smoke_gaussian(tmp):
         "--batch_size", "64", "--outdir", os.path.join(tmp, "gauss")])
     summary = main(args)
     assert all(k in summary for k in ("val_loss_x", "val_loss_y", "val_cka"))
-    print(f"[2/3] gaussian e2e: val_loss_x={summary['val_loss_x']:.4f} OK")
+    print(f"[1/3] gaussian e2e: val_loss_x={summary['val_loss_x']:.4f} OK")
 
 
 def smoke_multibench(tmp):
@@ -87,7 +64,7 @@ def smoke_multibench(tmp):
         trainer, s1, s2, evals, mode="xy", num_epochs=2, step_k=0,
         ds_name="mosi", eval_freq=100, capture=True)
     assert 0.0 <= score["test/score_xy"] <= 1.0
-    print(f"[3/3] multibench selfsup e2e: "
+    print(f"[2/3] multibench selfsup e2e: "
           f"score_xy={score['test/score_xy']:.3f} OK")
 
 

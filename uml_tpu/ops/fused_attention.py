@@ -143,6 +143,12 @@ def _pair_attention_split(q_arr, q_off, k_arr, k_off, v_arr, v_off, *,
                 e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP)).astype(dot_dtype)
             l = jnp.sum(e, axis=-1, keepdims=True,
                         dtype=jnp.float32)                   # [Sq, 1]
+            if not causal:
+                # without the row-max subtraction a row whose every score
+                # is < -133 underflows e to all-zeros in bf16; clamp l so
+                # a diverging training run saturates to 0 instead of NaN
+                # (0 * inf).  The causal path's max-sub guarantees l >= 1.
+                l = jnp.maximum(l, 1e-30)
             o = jnp.dot(e, v2 * m.astype(dot_dtype),
                         preferred_element_type=jnp.float32)  # [Sq, PAIR_W]
             acc = acc + o * (1.0 / l)
@@ -492,7 +498,10 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
                 qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [S, S]
             e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP))       # fp32
-            linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [S, 1]
+            # same underflow guard as the forward: an all-negative score
+            # row sums to 0 without the row-max subtraction
+            linv = 1.0 / jnp.maximum(
+                jnp.sum(e, axis=-1, keepdims=True), 1e-30)   # [S, 1]
             eb = e.astype(dot_dtype)
             vm = v2 * m.astype(dot_dtype)
             o = jnp.dot(eb, vm, preferred_element_type=jnp.float32)
@@ -606,6 +615,23 @@ def _fused_block_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, causal, eps):
             (x, w_eff, b_eff, wo, bo))
 
 
+def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps):
+    """Assemble all five grads from the Pallas backward's outputs: dx
+    directly, the weight/bias grads as large 2-dim-contraction XLA dots
+    over the saved (xn, dqkv, attn)."""
+    dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, eps,
+                                         heads, head_dim, False)
+    nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
+    dw_eff = jax.lax.dot_general(xn, dqkv, nums,
+                                 preferred_element_type=jnp.float32)
+    db_eff = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwo = jax.lax.dot_general(attn, g, nums,
+                              preferred_element_type=jnp.float32)
+    dbo = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    return (dx, dw_eff.astype(w_eff.dtype), db_eff.astype(b_eff.dtype),
+            dwo.astype(wo.dtype), dbo.astype(bo.dtype))
+
+
 def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
     x, w_eff, b_eff, wo, bo = res
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -613,17 +639,8 @@ def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
         # hand-written Pallas backward (see _block_bwd_kernel); the
         # causal (text-tower) path keeps the jnp-twin backward — frozen
         # in every reference training recipe, so it's a cold path
-        dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, eps,
-                                             heads, head_dim, False)
-        nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
-        dw_eff = jax.lax.dot_general(xn, dqkv, nums,
-                                     preferred_element_type=jnp.float32)
-        db_eff = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
-        dwo = jax.lax.dot_general(attn, g, nums,
-                                  preferred_element_type=jnp.float32)
-        dbo = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
-        return (dx, dw_eff.astype(w_eff.dtype), db_eff.astype(b_eff.dtype),
-                dwo.astype(wo.dtype), dbo.astype(bo.dtype))
+        return _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads,
+                               head_dim, eps)
     _, vjp = jax.vjp(
         lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
             x, w_eff, b_eff, wo, bo, heads=heads, causal=causal, eps=eps),
@@ -648,6 +665,15 @@ def _fused_block_cls_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, eps):
 
 def _fused_block_cls_bwd(heads, head_dim, eps, res, g):
     x, w_eff, b_eff, wo, bo = res
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        # the vjp of a row slice is a zero-pad of the cotangent, so the
+        # full-block Pallas backward serves the CLS block too — without
+        # this, the final layer's backward would pay the unfused jnp-twin
+        # cost every training step
+        g_full = jnp.zeros(x.shape, g.dtype).at[:, :CLS_ROWS].set(g)
+        return _bwd_via_kernel(x, g_full, w_eff, b_eff, wo, bo, heads,
+                               head_dim, eps)
     _, vjp = jax.vjp(
         lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
             x, w_eff, b_eff, wo, bo, heads=heads, causal=False,
@@ -659,6 +685,21 @@ def _fused_block_cls_bwd(heads, head_dim, eps, res, g):
 _fused_block_cls.defvjp(_fused_block_cls_fwd, _fused_block_cls_bwd)
 
 
+def _resolve_block_impl(impl, x, d, heads, wo, min_seq=0):
+    """Shared auto-dispatch for the half-block kernels: Pallas on TPU
+    when the shapes fit (``min_seq`` lets the CLS variant reject models
+    shorter than its fixed CLS_ROWS output tile)."""
+    if impl != "auto":
+        return impl
+    k = x.shape[-1]
+    on_tpu = jax.default_backend() not in ("cpu",)
+    ok = (on_tpu and x.ndim == 3 and heads * d == wo.shape[0]
+          and wo.shape[1] == k and x.shape[1] >= min_seq
+          and supports_fused_attention(k, heads, d, x.shape[1],
+                                       with_proj=True))
+    return "pallas" if ok else "reference"
+
+
 def ln_attn_block_cls(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
                       eps: float = 1e-5, impl: str = "auto"):
     """(x + MHA(LN(x)) @ wo + bo)[:, :CLS_ROWS]: the attention half of the
@@ -668,15 +709,8 @@ def ln_attn_block_cls(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
     Row 0 matches ln_attn_block's row 0 exactly (same dots, same
     contraction order); rows 1..7 are sublane padding.  Non-causal only.
     """
-    k = x.shape[-1]
     d = kernel.shape[1] // (3 * heads)
-    if impl == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        impl = ("pallas" if on_tpu and x.ndim == 3
-                and heads * d == wo.shape[0] and wo.shape[1] == k
-                and supports_fused_attention(k, heads, d, x.shape[1],
-                                             with_proj=True)
-                else "reference")
+    impl = _resolve_block_impl(impl, x, d, heads, wo, min_seq=CLS_ROWS)
     if impl == "pallas":
         w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
         return _fused_block_cls(x, w_eff, b_eff, wo, bo, heads, d, eps)
@@ -711,15 +745,8 @@ def ln_attn_block(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
     round-trips of the attention tile.  The LN scale/bias are folded into
     the QKV weights outside the kernel.  ``wo``: [H*D, K]; ``bo``: [K].
     """
-    k = x.shape[-1]
     d = kernel.shape[1] // (3 * heads)
-    if impl == "auto":
-        on_tpu = jax.default_backend() not in ("cpu",)
-        impl = ("pallas" if on_tpu and x.ndim == 3
-                and heads * d == wo.shape[0] and wo.shape[1] == k
-                and supports_fused_attention(k, heads, d, x.shape[1],
-                                             with_proj=True)
-                else "reference")
+    impl = _resolve_block_impl(impl, x, d, heads, wo)
     if impl == "pallas":
         w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
         return _fused_block(x, w_eff, b_eff, wo, bo, heads, d, causal, eps)

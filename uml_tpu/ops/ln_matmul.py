@@ -88,22 +88,24 @@ def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
     (619 MB/layer write + read at ViT-B/16 bs512), and the residual add
     rides the same program.  LN scale/bias are pre-folded into w1/b1.
 
-    Every op here is row-wise, so the G batch entries collapse into one
-    [G*S, K] slab: one big dot per matmul instead of G small ones, and
-    the MXU sublane padding amortizes (197 -> 208 rows is 5.6% waste per
-    image; 4*197 -> 800 is 1.5%)."""
-    g, s, k = x_ref.shape
-    xf = x_ref[:].reshape(g * s, k).astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
-    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
-    y = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
-    y = _KERNEL_ACTIVATIONS[activation](y + b1_ref[:].astype(jnp.float32))
-    y = y.astype(w2_ref.dtype)
-    out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
-    out = (xf + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
-    o_ref[:] = out.reshape(g, s, k)
+    Per-image loop, NOT a flattened [G*S, K] slab: the slab's fp32 hidden
+    ([788, 3072] ~ 15.8 MB at ViT-B/16 g=4) sits against the 16 MB scoped
+    VMEM limit and hard-fails compilation at batch sizes where XLA
+    promotes an operand into VMEM (measured: B=4/12 OOM, loop form fine);
+    the big-batch throughput of the two forms is identical (5.55 ms/layer
+    either way at bs512)."""
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
+        y = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+        y = _KERNEL_ACTIVATIONS[activation](y + b1_ref[:].astype(jnp.float32))
+        y = y.astype(w2_ref.dtype)
+        out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+        o_ref[j] = (xf + out
+                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
