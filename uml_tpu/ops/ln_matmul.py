@@ -82,20 +82,25 @@ def _ln_matmul_kernel_3d(x_ref, w_ref, b_ref, o_ref, *,
 
 
 def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-                      eps, activation):
+                      eps, activation, slab):
     """Whole MLP half-block, VMEM-resident: o = x + act(rawLN(x) @ w1 +
     b1) @ w2 + b2.  The [S, 4K] hidden activation never exists in HBM
     (619 MB/layer write + read at ViT-B/16 bs512), and the residual add
     rides the same program.  LN scale/bias are pre-folded into w1/b1.
 
-    Per-image loop, NOT a flattened [G*S, K] slab: the slab's fp32 hidden
-    ([788, 3072] ~ 15.8 MB at ViT-B/16 g=4) sits against the 16 MB scoped
-    VMEM limit and hard-fails compilation at batch sizes where XLA
-    promotes an operand into VMEM (measured: B=4/12 OOM, loop form fine);
-    the big-batch throughput of the two forms is identical (5.55 ms/layer
-    either way at bs512)."""
-    for j in range(x_ref.shape[0]):
-        xf = x_ref[j].astype(jnp.float32)
+    Every op is row-wise, so the G batch entries collapse into one
+    [G*S, K] slab: one big dot per matmul instead of G small ones, and
+    the MXU sublane padding amortizes (197 -> 208 rows is 5.6% waste per
+    image; 4*197 -> 800 is 1.5% — same-window A/B: 5019 vs 4994 img/s
+    extraction vs two-image slabs).  ``slab`` (from the caller) drops to
+    2 at small batch sizes, where XLA promotes the small operand arrays
+    into VMEM and the full slab's ~15.8 MB fp32 hidden then overflows
+    the 16 MB scoped-VMEM limit (measured: B=4/12 hard compile failure
+    with the full slab, fine with pairs)."""
+    g, s, k = x_ref.shape
+    step = slab if g % slab == 0 else (2 if g % 2 == 0 else 1)
+    for j0 in range(0, g, step):
+        xf = x_ref[j0:j0 + step].reshape(step * s, k).astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.maximum(
             jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
@@ -104,8 +109,8 @@ def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
         y = _KERNEL_ACTIVATIONS[activation](y + b1_ref[:].astype(jnp.float32))
         y = y.astype(w2_ref.dtype)
         out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
-        o_ref[j] = (xf + out
-                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        out = (xf + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[j0:j0 + step] = out.reshape(step, s, k)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
@@ -114,8 +119,10 @@ def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
     bsz, s, k = x.shape
     m = w1.shape[1]
     g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    slab = g if bsz >= 64 else 2
     return pl.pallas_call(
-        functools.partial(_mlp_block_kernel, eps=eps, activation=activation),
+        functools.partial(_mlp_block_kernel, eps=eps, activation=activation,
+                          slab=slab),
         grid=(bsz // g,),
         in_specs=[
             pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
