@@ -114,3 +114,27 @@ def test_supports_gate():
     assert supports_ln_matmul(512, 1536)
     assert not supports_ln_matmul(60, 256)     # MultiBench-ish dims
     assert not supports_ln_matmul(768, 200)
+
+
+def test_mlp_block_full_slab_path():
+    """bsz >= 64 engages the full-G slab variant of the MLP kernel; its
+    output must match the reference exactly like the small-batch form."""
+    import jax
+
+    from uml_tpu.ops.ln_matmul import ln_mlp_block, mlp_block_reference
+
+    rng = np.random.default_rng(9)
+    bsz, s, k, m = 64, 8, 128, 512
+    x = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.float32)
+    scale = jnp.asarray(1 + 0.1 * rng.standard_normal(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((k, m)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((m, k)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    got = ln_mlp_block(x, scale, bias, w1, b1, w2, b2,
+                       activation="quick_gelu", impl="pallas")
+    want = mlp_block_reference(x, scale, bias, w1, b1, w2, b2,
+                               activation="quick_gelu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
