@@ -11,8 +11,10 @@ Reference-API parity surface:
   * ``encode_image(pixels, return_tokens=...)``   (model.py:339-340)
   * ``encode_text(tokens, return_eot=..., return_tokens=...)``
   * ``embed_dim`` attribute                        (model.py:295)
-  * named configs "ViT-B/16" / "ViT-B/32"        (RN50/RN101's ModifiedResNet
-    tower is a later milestone; the four names are dispatched here)
+  * named configs "ViT-B/16" / "ViT-B/32" / "ViT-L/14" (CLIP_CONFIGS) plus
+    "RN50" / "RN101" via build_clip -> ClipResNetModel (models/clip_resnet.py)
+    — all five reference encoder names (engine/config/__init__.py:76-80)
+    dispatch through build_clip()
 
 TPU-first details: batch-major [B, S, D] everywhere (no torch LND
 permutes); the QKV projection is one packed matmul; attention runs through
@@ -193,11 +195,15 @@ class ResidualAttentionBlock(nn.Module):
                 self.width, 4 * self.width, name="c_fc")()
             proj_kernel, proj_bias = _DenseKernelBias(
                 4 * self.width, self.width, name="c_proj")()
-            return ln_mlp_block(x, ln2_scale, ln2_bias,
-                                fc_kernel.astype(self.dtype), fc_bias,
-                                proj_kernel.astype(self.dtype), proj_bias,
-                                activation="quick_gelu",
-                                impl=self.ln_matmul_impl)
+            out = ln_mlp_block(x, ln2_scale, ln2_bias,
+                               fc_kernel.astype(self.dtype), fc_bias,
+                               proj_kernel.astype(self.dtype), proj_bias,
+                               activation="quick_gelu",
+                               impl=self.ln_matmul_impl)
+            # cls_only + causal takes the full ln_attn_block path above
+            # (ln_attn_block_cls is non-causal only) — slice here so the
+            # output shape matches the non-fused branch for every arg combo
+            return out[:, :CLS_ROWS] if cls_only else out
 
         qkv = ln_matmul(x, ln1_scale, ln1_bias,
                         qkv_kernel.astype(self.dtype), qkv_bias,

@@ -451,6 +451,14 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
     k-section, which are exactly zero (softmax shift invariance), and the
     v-bias through the v-section's column sums (softmax rows sum to 1) —
     both emerge from db_eff = sum(dqkv) with no special handling.
+
+    Bias handling in the recompute mirrors the forward exactly (k-bias
+    dropped, q-bias FMA'd into the mask-scale multiply, v-bias post-added
+    to the pair output): the recomputed scores are then bit-identical to
+    the forward's, so the NOMAX_CLAMP stop-gradient indicator below is
+    evaluated against the same clamp region the forward saw.  The v-bias
+    is also exactly absent from dsc (dP gains a per-row constant from it,
+    and P(dP - rowsum(P*dP)) kills row constants), so dP uses the raw v.
     """
     hp = heads * head_dim
     log2e = 1.4426950408889634
@@ -467,8 +475,8 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
     xnb = xn32.astype(dot_dtype)
     xn_ref[0] = xnb.astype(xn_ref.dtype)
 
-    qkv = jnp.dot(xnb, w_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + b_ref[:].astype(jnp.float32)).astype(dot_dtype)
+    qkv = jnp.dot(xnb, w_ref[:],
+                  preferred_element_type=jnp.float32).astype(dot_dtype)
 
     gof = g_ref[0]
     dattn = jax.lax.dot_general(
@@ -484,16 +492,17 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
         q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
         k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
         v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
+        bq2 = b_ref[p * PAIR_W:(p + 1) * PAIR_W].astype(jnp.float32)
+        bv2 = b_ref[2 * hp + p * PAIR_W:
+                    2 * hp + (p + 1) * PAIR_W].astype(jnp.float32)
         d_pair = dattn[:, p * PAIR_W:(p + 1) * PAIR_W]
         dq2 = jnp.zeros((s, PAIR_W), jnp.float32)
         dk2 = jnp.zeros((s, PAIR_W), jnp.float32)
         dv2 = jnp.zeros((s, PAIR_W), jnp.float32)
-        # qkv here includes the packed bias, so P @ v already carries the
-        # v-bias (softmax rows sum to 1) — no separate bv add
         attn_pair = jnp.zeros((s, PAIR_W), jnp.float32)
         for m in half_masks:
             ms = (m * scale).astype(dot_dtype)
-            qm = q2 * ms
+            qm = q2 * ms + (bq2[None, :] * scale * m).astype(dot_dtype)
             sc = jax.lax.dot_general(
                 qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [S, S]
@@ -516,13 +525,18 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [S, S]
             rd = jnp.sum(e * dP, axis=-1, keepdims=True) * linv
-            dsc = ((e * (dP - rd)) * (ln2 * linv)).astype(dot_dtype)
+            dsc = (e * (dP - rd)) * (ln2 * linv)
+            # stop-gradient through the clamp: d exp2(min(sc, C))/d sc = 0
+            # where the forward clamped (sc is bit-identical to the
+            # forward's, so the indicator matches the clamp region exactly)
+            dsc = jnp.where(sc < NOMAX_CLAMP, dsc, 0.0).astype(dot_dtype)
             dq2 = dq2 + jnp.dot(dsc, k2,
                                 preferred_element_type=jnp.float32) * (
                 m * scale)
             dk2 = dk2 + jax.lax.dot_general(
                 dsc, qm, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+        attn_pair = attn_pair + bv2[None, :]
         attn_ref[0, :, p * PAIR_W:(p + 1) * PAIR_W] = attn_pair.astype(
             attn_ref.dtype)
         dq2b = dq2.astype(dot_dtype)
@@ -708,15 +722,21 @@ def ln_attn_block_cls(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
 
     Row 0 matches ln_attn_block's row 0 exactly (same dots, same
     contraction order); rows 1..7 are sublane padding.  Non-causal only.
+    Output is always [B, CLS_ROWS, K]: when S < CLS_ROWS (reference impl
+    only — the Pallas gate requires S >= CLS_ROWS) rows S..CLS_ROWS-1 are
+    zero padding, so both impls agree on shape for every S.
     """
     d = kernel.shape[1] // (3 * heads)
     impl = _resolve_block_impl(impl, x, d, heads, wo, min_seq=CLS_ROWS)
     if impl == "pallas":
         w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
         return _fused_block_cls(x, w_eff, b_eff, wo, bo, heads, d, eps)
-    return ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
-                                   heads=heads, causal=False,
-                                   eps=eps)[:, :CLS_ROWS]
+    out = ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                  heads=heads, causal=False,
+                                  eps=eps)[:, :CLS_ROWS]
+    if out.shape[1] < CLS_ROWS:
+        out = jnp.pad(out, ((0, 0), (0, CLS_ROWS - out.shape[1]), (0, 0)))
+    return out
 
 
 def fold_ln_into_matmul(scale, bias, kernel, kbias):
