@@ -85,20 +85,22 @@ def test_tp_sharded_matches_unsharded():
                                atol=1e-5, rtol=1e-5)
 
 
-def test_textmodel_native_backend_matches_torch(tmp_path):
-    """TextModel 'native' backend (in-house LlamaEncoder) pools identically
-    to the HF torch backend on a locally-saved tiny checkpoint."""
-    torch = pytest.importorskip("torch")
+def _save_tiny_llama(d, hidden_size=32, heads=4):
+    """Save a tiny random HF LlamaModel + word-level tokenizer to ``d``
+    (the dir name must contain 'llama' so TextModel picks the native
+    backend)."""
+    import torch
     from tokenizers import Tokenizer
     from tokenizers.models import WordLevel
     from tokenizers.pre_tokenizers import Whitespace
     from transformers import LlamaConfig as HFConfig
     from transformers import LlamaModel, PreTrainedTokenizerFast
 
-    d = str(tmp_path / "tiny-llama")
     hf_cfg = HFConfig(
-        vocab_size=64, hidden_size=32, intermediate_size=56,
-        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        vocab_size=64, hidden_size=hidden_size,
+        intermediate_size=hidden_size * 2 - 8,
+        num_hidden_layers=2, num_attention_heads=heads,
+        num_key_value_heads=heads,
         max_position_embeddings=64, attn_implementation="eager")
     torch.manual_seed(1)
     LlamaModel(hf_cfg).save_pretrained(d)
@@ -112,6 +114,15 @@ def test_textmodel_native_backend_matches_torch(tmp_path):
         tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
         eos_token="</s>").save_pretrained(d)
 
+
+def test_textmodel_native_backend_matches_torch(tmp_path):
+    """TextModel 'native' backend (in-house LlamaEncoder) pools identically
+    to the HF torch backend on a locally-saved tiny checkpoint."""
+    pytest.importorskip("torch")
+
+    d = str(tmp_path / "tiny-llama")
+    _save_tiny_llama(d)
+
     from uml_tpu.models.languagemodel import TextModel
 
     texts = ["a photo of cat", "the dog"]
@@ -124,6 +135,37 @@ def test_textmodel_native_backend_matches_torch(tmp_path):
     np.testing.assert_allclose(feats_native, feats_torch,
                                atol=2e-4, rtol=2e-4)
     assert feats_native.shape == (2, 32)
+
+
+def test_features_cli_text_tp_matches_unsharded(tmp_path):
+    """The features CLI's text path (VERDICT r2 #4): a llama-family LM
+    constructed by _HFEncoderAdapter receives the mesh, runs the native
+    backend tensor-parallel over the 'model' axis, and produces the same
+    per-class template features as the unsharded run."""
+    pytest.importorskip("torch")
+    from uml_tpu.cli.features import _HFEncoderAdapter, text_features
+    from uml_tpu.core.meshes import create_mesh
+
+    d = str(tmp_path / "tiny-llama")
+    _save_tiny_llama(d)
+
+    lab2cname = {0: "cat", 1: "dog"}
+    base = _HFEncoderAdapter(language_model=d)
+    want = text_features(base, "caltech101", lab2cname, "vanilla")
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    tp = _HFEncoderAdapter(language_model=d, mesh=mesh)
+    assert tp.text_model.backend == "native"
+    assert tp.text_model.mesh is mesh
+    q_sh = tp.text_model._params["params"]["layers_0"]["q_proj"][
+        "kernel"].sharding
+    assert "model" in str(q_sh.spec)
+    got = text_features(tp, "caltech101", lab2cname, "vanilla")
+
+    np.testing.assert_allclose(got["features"], want["features"],
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_array_equal(got["labels"], want["labels"])
+    np.testing.assert_array_equal(got["eot_indices"], want["eot_indices"])
 
 
 def test_gqa_repeat_and_padding_invariance():

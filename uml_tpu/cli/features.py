@@ -230,7 +230,7 @@ class _HFEncoderAdapter:
     """
 
     def __init__(self, vision_model: str = "", language_model: str = "",
-                 allow_random_init: bool = False):
+                 allow_random_init: bool = False, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -240,7 +240,10 @@ class _HFEncoderAdapter:
             from uml_tpu.models.languagemodel import TextModel
 
             try:
-                self.text_model = TextModel(language_model)
+                # mesh reaches the text encoder: llama-family LMs (the
+                # OpenLLaMA-7B/13B axis, reference languagemodel.py:72-73)
+                # run tensor-parallel over the mesh's 'model' axis
+                self.text_model = TextModel(language_model, mesh=mesh)
             except Exception as e:
                 if not allow_random_init:
                     raise
@@ -302,22 +305,25 @@ def main(args):
     else:
         datasets = get_testset(args.dataset, args.data_dir)
 
+    from uml_tpu.core.meshes import mesh_from_flag
+
+    mesh = mesh_from_flag(getattr(args, "mesh", "auto"))
+    if mesh is not None:
+        print(f"=> Extraction over mesh {dict(mesh.shape)}")
+
     args.use_clip = args.vision_model == "" and args.language_model == ""
     if args.use_clip:
         print("=> Using CLIP model")
-        from uml_tpu.core.meshes import mesh_from_flag
         from uml_tpu.models.encoders import ClipEncoder
 
-        mesh = mesh_from_flag(getattr(args, "mesh", "auto"))
-        if mesh is not None:
-            print(f"=> Data-parallel extraction over mesh {dict(mesh.shape)}")
         encoder = ClipEncoder(args.clip_encoder, mesh=mesh,
                               allow_random_init=args.allow_random_init)
     else:
         print(f"=> Using {args.vision_model} for vision and "
               f"{args.language_model} for language")
         encoder = _HFEncoderAdapter(args.vision_model, args.language_model,
-                                    allow_random_init=args.allow_random_init)
+                                    allow_random_init=args.allow_random_init,
+                                    mesh=mesh)
 
     if args.dataset not in IMAGENET_TESTSETS:
         prepare_image_features(encoder, args, datasets, mode="train")
