@@ -40,3 +40,11 @@ def test_multibench_forward_and_train_parity():
     # right at the tolerance edge (both sides are seeded/deterministic)
     out = _run("parity_multibench.py", "--epochs", "3")
     assert "FAIL" not in out
+
+
+def test_supervised_trajectory_parity():
+    # PARITY.md §3: reference finetune.py train()/validate() vs our jitted
+    # supervised loop, identical batches/init, 90 iters incl. ragged
+    # batches, grad probes, and the capture-set CKA/mkNN side loop
+    out = _run("parity_supervised.py", "--iters", "90")
+    assert "FAIL" not in out

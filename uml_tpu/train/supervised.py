@@ -245,8 +245,12 @@ def train(
                 jnp.linalg.norm(gi) * jnp.linalg.norm(gt) + 1e-12)
             metrics["train/grad_agreement_rate"] = jnp.mean(
                 (jnp.sign(gi) == jnp.sign(gt)).astype(jnp.float32))
-            fi = img_feats.mean(0)
-            ft = txt_feats.astype(jnp.float32).mean(0)
+            # weighted means: padded rows of a ragged final batch must not
+            # enter the reference's batch-mean (finetune.py:239)
+            fi = ((img_feats * img_w[:, None]).sum(0)
+                  / jnp.maximum(img_w.sum(), 1.0))
+            ft = ((txt_feats.astype(jnp.float32) * txt_w[:, None]).sum(0)
+                  / jnp.maximum(txt_w.sum(), 1.0))
             metrics["train/feature_direction_sim"] = jnp.dot(fi, ft) / (
                 jnp.linalg.norm(fi) * jnp.linalg.norm(ft) + 1e-12)
 
