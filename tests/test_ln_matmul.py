@@ -138,3 +138,51 @@ def test_mlp_block_full_slab_path():
                                activation="quick_gelu")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("activation", [None, "quick_gelu", "gelu_exact"])
+def test_mlp_bwd_kernel_matches_reference_vjp(activation):
+    """Hand-written MLP-half-block backward vs jax.vjp of the jnp twin
+    (interpret mode; grads assembled the way _mlp_block_vjp_bwd does)."""
+    from uml_tpu.ops.ln_matmul import (_mlp_bwd_call,
+                                       _raw_mlp_block_reference)
+
+    rng = np.random.default_rng(11)
+    bsz, s, k, m = 3, 9, 128, 256
+    x = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((k, m)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((m, k)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.float32)
+
+    # assemble grads exactly like _mlp_bwd_via_kernel, but in interpret mode
+    dy = jax.lax.dot_general(
+        g, w2, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    dx_ln, xn, dpre, yact = _mlp_bwd_call(x, dy, b1, w1, 1e-5, activation,
+                                          True)
+    nums = (((0, 1), (0, 1)), ((), ()))
+    got = {
+        "dx": np.asarray(dx_ln + g),
+        "dw1": np.asarray(jax.lax.dot_general(
+            xn, dpre, nums, preferred_element_type=jnp.float32)),
+        "db1": np.asarray(jnp.sum(dpre, axis=(0, 1))),
+        "dw2": np.asarray(jax.lax.dot_general(
+            yact, g, nums, preferred_element_type=jnp.float32)),
+        "db2": np.asarray(jnp.sum(g, axis=(0, 1))),
+    }
+
+    _, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2: _raw_mlp_block_reference(
+            x, w1, b1, w2, b2, eps=1e-5, activation=activation),
+        x, w1, b1, w2, b2)
+    want = dict(zip(("dx", "dw1", "db1", "dw2", "db2"), vjp(g)))
+
+    # gelu_exact: the kernel's polynomial erf (|err| <= 1.5e-7) vs XLA erf
+    tol = 5e-4 if activation == "gelu_exact" else 2e-5
+    for name in got:
+        ref = np.asarray(want[name])
+        scale_ref = np.abs(ref).max() + 1e-9
+        np.testing.assert_allclose(got[name] / scale_ref, ref / scale_ref,
+                                   atol=tol, rtol=tol, err_msg=name)

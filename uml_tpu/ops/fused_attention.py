@@ -33,6 +33,7 @@ statistics here are strictly more precise.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PAIR_W = 128  # two D=64 heads per 128-lane tile
+
+
+def _group_and_params(bsz, default_g=4, env="UML_KERNEL_G"):
+    """(per-program batch group G, CompilerParams) for the block kernels.
+
+    G images per program give the VLIW scheduler independent chains (one
+    image's VPU softmax/LN overlaps another's MXU dots).  G > 4 needs the
+    Mosaic scoped-VMEM limit raised above its 16 MB default (v5e has
+    128 MB VMEM/core); UML_KERNEL_G / UML_BWD_G / UML_VMEM_MB override
+    for perf A/Bs.
+    """
+    g = int(os.environ.get(env, default_g))
+    while g > 1 and bsz % g != 0:
+        g //= 2
+    vmem_mb = int(os.environ.get("UML_VMEM_MB", 64 if g > 4 else 0))
+    params = (pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
+              if vmem_mb else None)
+    return g, params
 
 
 def _kernel(x_ref, scale_ref, bias_ref, w_ref, b_ref, o_ref, *,
@@ -257,11 +276,12 @@ def _block_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
-    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    g, cparams = _group_and_params(bsz)
     return pl.pallas_call(
         functools.partial(_block_kernel, eps=eps, heads=heads,
                           head_dim=head_dim, causal=causal),
         grid=(bsz // g,),
+        compiler_params=cparams,
         in_specs=[
             pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -291,11 +311,12 @@ def _block_cls_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
-    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    g, cparams = _group_and_params(bsz)
     return pl.pallas_call(
         functools.partial(_block_cls_kernel, eps=eps, heads=heads,
                           head_dim=head_dim),
         grid=(bsz // g,),
+        compiler_params=cparams,
         in_specs=[
             pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -466,26 +487,39 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
     scale = head_dim ** -0.5 * log2e
     dot_dtype = w_ref.dtype
 
-    xf = x_ref[0].astype(jnp.float32)                        # [S, K]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
+    half_masks = ((lane < head_dim).astype(jnp.float32),
+                  (lane >= head_dim).astype(jnp.float32))
+    # G batch entries per program (like the forward): independent chains
+    # let the VLIW scheduler overlap one image's VPU softmax-backward with
+    # another's MXU dots
+    for j in range(x_ref.shape[0]):
+        _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
+                       xn_ref, attn_ref, j, eps=eps, heads=heads,
+                       head_dim=head_dim, hp=hp, ln2=ln2, scale=scale,
+                       dot_dtype=dot_dtype, half_masks=half_masks)
+
+
+def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
+                   xn_ref, attn_ref, j, *, eps, heads, head_dim, hp, ln2,
+                   scale, dot_dtype, half_masks):
+    xf = x_ref[j].astype(jnp.float32)                        # [S, K]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
         jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     xn32 = (xf - mean) * rstd
     xnb = xn32.astype(dot_dtype)
-    xn_ref[0] = xnb.astype(xn_ref.dtype)
+    xn_ref[j] = xnb.astype(xn_ref.dtype)
 
     qkv = jnp.dot(xnb, w_ref[:],
                   preferred_element_type=jnp.float32).astype(dot_dtype)
 
-    gof = g_ref[0]
+    gof = g_ref[j]
     dattn = jax.lax.dot_general(
         gof, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [S, H*D]
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
-    half_masks = ((lane < head_dim).astype(jnp.float32),
-                  (lane >= head_dim).astype(jnp.float32))
     s = xf.shape[0]
     dxn = jnp.zeros_like(xf)
     for p in range(heads // 2):
@@ -537,16 +571,16 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
                 dsc, qm, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         attn_pair = attn_pair + bv2[None, :]
-        attn_ref[0, :, p * PAIR_W:(p + 1) * PAIR_W] = attn_pair.astype(
+        attn_ref[j, :, p * PAIR_W:(p + 1) * PAIR_W] = attn_pair.astype(
             attn_ref.dtype)
         dq2b = dq2.astype(dot_dtype)
         dk2b = dk2.astype(dot_dtype)
         dv2b = dv2.astype(dot_dtype)
-        dqkv_ref[0, :, p * PAIR_W:(p + 1) * PAIR_W] = dq2b.astype(
+        dqkv_ref[j, :, p * PAIR_W:(p + 1) * PAIR_W] = dq2b.astype(
             dqkv_ref.dtype)
-        dqkv_ref[0, :, hp + p * PAIR_W: hp + (p + 1) * PAIR_W] = dk2b.astype(
+        dqkv_ref[j, :, hp + p * PAIR_W: hp + (p + 1) * PAIR_W] = dk2b.astype(
             dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * hp + p * PAIR_W:
+        dqkv_ref[j, :, 2 * hp + p * PAIR_W:
                  2 * hp + (p + 1) * PAIR_W] = dv2b.astype(dqkv_ref.dtype)
         # dxn accumulates per pair against the resident weight's column
         # slices: dxn += dq @ Wq_pT + dk @ Wk_pT + dv @ Wv_pT
@@ -564,7 +598,7 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
     m1 = jnp.mean(dxn, axis=-1, keepdims=True)
     m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
     dxl = rstd * (dxn - m1 - xn32 * m2)
-    dx_ref[0] = (dxl + gof.astype(jnp.float32)).astype(dx_ref.dtype)
+    dx_ref[j] = (dxl + gof.astype(jnp.float32)).astype(dx_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -574,27 +608,29 @@ def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
+    grp, cparams = _group_and_params(bsz, default_g=1, env="UML_BWD_G")
     dx, dqkv, xn, attn = pl.pallas_call(
         functools.partial(_block_bwd_kernel, eps=eps, heads=heads,
                           head_dim=head_dim),
-        grid=(bsz,),
+        grid=(bsz // grp,),
+        compiler_params=cparams,
         in_specs=[
-            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, m3), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s, m3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0),
+            pl.BlockSpec((grp, s, hd), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

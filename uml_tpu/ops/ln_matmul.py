@@ -13,15 +13,21 @@ matmul — one HBM read of x, no separate stats pass, MXU does the dot.
 The reference runs these as separate torch ops (engine/clip/model.py:153-186,
 nn.LayerNorm then nn.Linear); fusing them is pure implementation freedom.
 
-Forward: Pallas kernel (TPU).  Backward: custom_vjp recomputing through the
-jnp reference — exact, XLA-fused, cheap at these shapes.  Statistics are
-fp32 regardless of input dtype; the normalized activation is cast to the
-weight dtype before hitting the MXU (bf16 in production).
+Forward: Pallas kernel (TPU).  Backward: custom_vjp recomputing through
+the jnp reference — measured AT the 5-matmul FLOP floor at ViT-B/16 bs128
+(XLA fuses the elementwise passes into the dots).  A hand-written Pallas
+backward exists (_mlp_bwd_kernel, UML_MLP_BWD=kernel) and measured ~9%
+slower end-to-end, unlike the attention half-block where the hand-written
+backward won ~30% — kept for re-evaluation on shapes where XLA's autodiff
+regresses.  Statistics are fp32 regardless of input dtype; the normalized
+activation is cast to the weight dtype before hitting the MXU (bf16 in
+production).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -116,14 +122,17 @@ def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
                                              "interpret"))
 def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
+    from uml_tpu.ops.fused_attention import _group_and_params
+
     bsz, s, k = x.shape
     m = w1.shape[1]
-    g = 4 if bsz % 4 == 0 else (2 if bsz % 2 == 0 else 1)
+    g, cparams = _group_and_params(bsz)
     slab = g if bsz >= 64 else 2
     return pl.pallas_call(
         functools.partial(_mlp_block_kernel, eps=eps, activation=activation,
                           slab=slab),
         grid=(bsz // g,),
+        compiler_params=cparams,
         in_specs=[
             pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -143,6 +152,127 @@ def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
         ),
         interpret=interpret,
     )(x, w1, b1, w2, b2)
+
+
+def _act_grad(pre, activation):
+    """d act(pre) / d pre in fp32 (kernel-safe: polynomial erf)."""
+    if activation is None:
+        return jnp.ones_like(pre)
+    if activation == "quick_gelu":
+        s = 1.0 / (1.0 + jnp.exp(-1.702 * pre))
+        return s * (1.0 + 1.702 * pre * (1.0 - s))
+    if activation == "gelu_exact":
+        phi_big = 0.5 * (1.0 + _erf_poly(pre * (2.0 ** -0.5)))
+        phi_small = jnp.exp(-0.5 * pre * pre) * 0.3989422804014327
+        return phi_big + pre * phi_small
+    raise ValueError(activation)
+
+
+def _mlp_bwd_kernel(x_ref, dy_ref, b1_ref, w1_ref, dx_ref, xn_ref, dpre_ref,
+                    yact_ref, *, eps, activation):
+    """Hand-written backward of the MLP half-block (mirror of
+    fused_attention._block_bwd_kernel's structure).
+
+    One batch entry per program, only w1 resident (4.7 MB at ViT-B).
+    ``dy`` = g @ w2^T is computed by XLA outside (a clean full-rate
+    batched matmul).  The kernel recomputes LN -> pre = xn @ w1 + b1 in
+    VMEM, forms dpre = dy * act'(pre) and dxn = dpre @ w1^T, and runs the
+    LN backward — the [S, 4K] fp32 hidden/act' tensors never exist in
+    HBM (XLA's autodiff of the jnp twin streamed them at fp32: measured
+    ~2.2 ms/layer bwd at bs128 vs ~1.3 ideal).  ``xn``/``dpre``/``yact``
+    go out bf16 so the weight/bias grads are large 2-dim-contraction XLA
+    dots at full MXU rate:
+        dw1 = xn^T @ dpre    db1 = sum(dpre)
+        dw2 = yact^T @ g     db2 = sum(g)      dx += g (residual)
+    b1 is exactly absent from this kernel: act'(pre) needs pre WITH the
+    bias, which rides the matmul epilogue; db1 comes from dpre's sums.
+    """
+    xf = x_ref[0].astype(jnp.float32)                        # [S, K]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn32 = (xf - mean) * rstd
+    xnb = xn32.astype(w1_ref.dtype)
+    xn_ref[0] = xnb.astype(xn_ref.dtype)
+
+    pre = jnp.dot(xnb, w1_ref[:], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[:].astype(jnp.float32)
+    yact_ref[0] = _KERNEL_ACTIVATIONS[activation](pre).astype(yact_ref.dtype)
+    dpre = dy_ref[0].astype(jnp.float32) * _act_grad(pre, activation)
+    dpreb = dpre.astype(w1_ref.dtype)
+    dpre_ref[0] = dpreb.astype(dpre_ref.dtype)
+
+    dxn = jax.lax.dot_general(
+        dpreb, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [S, K]
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
+    dx_ref[0] = (rstd * (dxn - m1 - xn32 * m2)).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "activation",
+                                             "interpret"))
+def _mlp_bwd_call(x, dy, b1, w1, eps, activation, interpret):
+    bsz, s, k = x.shape
+    m = w1.shape[1]
+    dx, xn, dpre, yact = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps, activation=activation),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # dx (pre-residual)
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # xn
+            jax.ShapeDtypeStruct((bsz, s, m), x.dtype),    # dpre
+            jax.ShapeDtypeStruct((bsz, s, m), x.dtype),    # yact
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * s * k * m,
+            bytes_accessed=((3 * bsz * s * k + 3 * bsz * s * m)
+                            * x.dtype.itemsize
+                            + w1.size * w1.dtype.itemsize),
+            transcendentals=2 * bsz * s * m if activation else 0,
+        ),
+        interpret=interpret,
+    )(x, dy, b1, w1)
+    return dx, xn, dpre, yact
+
+
+def _mlp_bwd_via_kernel(x, g, w1, b1, w2, b2, eps, activation):
+    """Assemble all five grads: dy by XLA, dx/intermediates by the Pallas
+    backward, weight/bias grads as large 2-dim-contraction XLA dots."""
+    dy = jax.lax.dot_general(
+        g, w2, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)  # [B, S, M]
+    dx_ln, xn, dpre, yact = _mlp_bwd_call(x, dy, b1, w1, eps, activation,
+                                          False)
+    nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
+    dw1 = jax.lax.dot_general(xn, dpre, nums,
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1))
+    dw2 = jax.lax.dot_general(yact, g, nums,
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    dx = (dx_ln.astype(jnp.float32) + g.astype(jnp.float32)).astype(x.dtype)
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
 def _raw_mlp_block_reference(x, w1, b1, w2, b2, *, eps, activation):
@@ -171,6 +301,16 @@ def _mlp_block_vjp_fwd(x, w1, b1, w2, b2, eps, activation):
 
 def _mlp_block_vjp_bwd(eps, activation, res, g):
     x, w1, b1, w2, b2 = res
+    if (jax.default_backend() not in ("cpu",)
+            and os.environ.get("UML_MLP_BWD") == "kernel"):
+        # hand-written Pallas backward — measured SLOWER than XLA's
+        # autodiff of the jnp twin at ViT-B/16 bs128 (37 ms vs 34 ms for
+        # the 12-layer stack, same-window A/B): XLA already runs the
+        # 5-matmul MLP backward at its FLOP floor with the elementwise
+        # passes fused, unlike the attention case where it materialized
+        # per-head [S, S] probabilities.  Kept behind UML_MLP_BWD=kernel
+        # for re-evaluation on other shapes.
+        return _mlp_bwd_via_kernel(x, g, w1, b1, w2, b2, eps, activation)
     _, vjp = jax.vjp(
         lambda x, w1, b1, w2, b2: _raw_mlp_block_reference(
             x, w1, b1, w2, b2, eps=eps, activation=activation),
