@@ -17,7 +17,8 @@ from uml_tpu.models.clip import build_clip
 
 b = 128
 model = build_clip("ViT-B/16", dtype=jnp.bfloat16)
-variables = jax.jit(model.init)(
+# eager init: a jitted full-CLIP init is a fresh ~10 min relay compile
+variables = model.init(
     jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
     jnp.zeros((1, 77), jnp.int32))
 rng = np.random.default_rng(0)
@@ -69,7 +70,7 @@ def main():
             env["UML_MLP_BWD"] = "kernel"
         proc = subprocess.run([sys.executable, "-c", CHILD], cwd=repo,
                               env=env, capture_output=True, text=True,
-                              timeout=900)
+                              timeout=1500)
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT"):
                 print(line, flush=True)

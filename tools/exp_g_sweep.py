@@ -21,7 +21,8 @@ from uml_tpu.models.clip import build_clip
 
 BATCH = 2048
 model = build_clip("ViT-B/16", dtype=jnp.bfloat16)
-variables = jax.jit(model.init)(
+# eager init: a jitted full-CLIP init is a fresh ~10 min relay compile
+variables = model.init(
     jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
     jnp.zeros((1, 77), jnp.int32))
 
@@ -54,7 +55,7 @@ def main():
         env = dict(os.environ, UML_KERNEL_G=g, UML_VMEM_MB=vmem)
         proc = subprocess.run([sys.executable, "-c", CHILD], cwd=repo,
                               env=env, capture_output=True, text=True,
-                              timeout=900)
+                              timeout=1500)
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT"):
                 print(line, flush=True)

@@ -43,19 +43,63 @@ from jax.experimental.pallas import tpu as pltpu
 PAIR_W = 128  # two D=64 heads per 128-lane tile
 
 
-def _group_and_params(bsz, default_g=4, env="UML_KERNEL_G"):
+VMEM_CEILING = 96 * 2**20  # leave headroom of v5e's 128 MB/core for XLA
+
+
+def fused_block_vmem_bytes(k, heads, head_dim, seq_len, itemsize=2,
+                           with_proj=False, g=1):
+    """Estimated VMEM need of the attention half-block kernel: resident
+    weights + double-buffered in/out tiles for G entries + the per-pair
+    score temporaries ([S, S] fp32 + bf16)."""
+    w = k * 3 * heads * head_dim * itemsize
+    if with_proj:
+        w += heads * head_dim * k * itemsize
+    tile = seq_len * (k * itemsize
+                      + 3 * heads * head_dim * (4 + itemsize)
+                      + heads * head_dim * itemsize)
+    scores = seq_len * seq_len * (4 + itemsize)
+    return w + 2 * g * tile + scores
+
+
+def _fits_default_vmem(k, heads, head_dim, seq_len, itemsize=2,
+                       with_proj=False):
+    """Shapes that compile and run well under Mosaic's default 16 MB
+    scoped limit (the round-2 empirical gate).  These get NO explicit
+    vmem_limit_bytes, preserving measured behavior; larger shapes
+    (DINO-L/14, DINO-B/8) get an explicit raise instead."""
+    w_bytes = k * 3 * heads * head_dim * itemsize
+    if with_proj:
+        w_bytes += heads * head_dim * k * itemsize
+    tile_bytes = seq_len * (k * itemsize
+                            + 3 * heads * head_dim * (4 + itemsize)
+                            + heads * head_dim * itemsize)
+    return w_bytes + tile_bytes <= 13 * 1024 * 1024
+
+
+def _group_and_params(bsz, default_g=4, env="UML_KERNEL_G", need_fn=None):
     """(per-program batch group G, CompilerParams) for the block kernels.
 
     G images per program give the VLIW scheduler independent chains (one
-    image's VPU softmax/LN overlaps another's MXU dots).  G > 4 needs the
-    Mosaic scoped-VMEM limit raised above its 16 MB default (v5e has
-    128 MB VMEM/core); UML_KERNEL_G / UML_BWD_G / UML_VMEM_MB override
-    for perf A/Bs.
+    image's VPU softmax/LN overlaps another's MXU dots).  Mosaic's
+    scoped-VMEM default is 16 MB; shapes that need more (G > 4 groups,
+    DINO-L/14's k=1024 S=257, DINO-B/8's S=785) get an explicit
+    vmem_limit_bytes raise — v5e has 128 MB VMEM/core.  ``need_fn(g)``
+    estimates the kernel's working set; shapes fitting the default limit
+    get NO explicit param (preserving the measured-good ViT-B behavior).
+    UML_KERNEL_G / UML_BWD_G / UML_VMEM_MB override for perf A/Bs.
     """
     g = int(os.environ.get(env, default_g))
     while g > 1 and bsz % g != 0:
         g //= 2
-    vmem_mb = int(os.environ.get("UML_VMEM_MB", 64 if g > 4 else 0))
+    vmem_mb = int(os.environ.get("UML_VMEM_MB", 0))
+    if not vmem_mb:
+        need = need_fn(g) if need_fn is not None else None
+        if need is not None and need > 12 * 2**20:
+            # 1.3x estimate slack, MB-rounded, capped at the ceiling
+            vmem_mb = min(int(need * 1.3 / 2**20) + 1,
+                          VMEM_CEILING // 2**20)
+        elif g > 4:
+            vmem_mb = 64
     params = (pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 2**20)
               if vmem_mb else None)
     return g, params
@@ -276,7 +320,11 @@ def _block_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
-    g, cparams = _group_and_params(bsz)
+    g, cparams = _group_and_params(
+        bsz, need_fn=lambda g: None if _fits_default_vmem(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True)
+        else fused_block_vmem_bytes(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True, g))
     return pl.pallas_call(
         functools.partial(_block_kernel, eps=eps, heads=heads,
                           head_dim=head_dim, causal=causal),
@@ -311,7 +359,11 @@ def _block_cls_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
-    g, cparams = _group_and_params(bsz)
+    g, cparams = _group_and_params(
+        bsz, need_fn=lambda g: None if _fits_default_vmem(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True)
+        else fused_block_vmem_bytes(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True, g))
     return pl.pallas_call(
         functools.partial(_block_cls_kernel, eps=eps, heads=heads,
                           head_dim=head_dim),
@@ -347,10 +399,16 @@ def _fwd(x, scale, bias, kernel, kbias, eps, heads, head_dim, causal,
          interpret):
     bsz, s, k = x.shape
     m3 = kernel.shape[1]
+    _, cparams = _group_and_params(
+        bsz, default_g=1, need_fn=lambda g: None if _fits_default_vmem(
+            k, heads, head_dim, s, kernel.dtype.itemsize, False)
+        else fused_block_vmem_bytes(
+            k, heads, head_dim, s, kernel.dtype.itemsize, False, g))
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps, heads=heads, head_dim=head_dim,
                           causal=causal),
         grid=(bsz,),
+        compiler_params=cparams,
         in_specs=[
             pl.BlockSpec((None, s, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -392,19 +450,17 @@ def ln_qkv_attention_reference(x, scale, bias, kernel, kbias, *, heads,
 def supports_fused_attention(k: int, heads: int, head_dim: int,
                              seq_len: int, itemsize: int = 2,
                              with_proj: bool = False) -> bool:
-    """Head-pair mode needs D=64 and an even head count; everything must
-    fit VMEM (weight resident + x/qkv/out tiles).  ``with_proj`` accounts
-    for the extra resident [H*D, K] out-projection weight of the
-    whole-half-block kernel."""
+    """Head-pair mode needs D=64 and an even head count; the single-entry
+    working set (weights resident + double-buffered tiles + score temps)
+    must fit under VMEM_CEILING — shapes that exceed Mosaic's 16 MB
+    scoped default (DINO-L/14, DINO-B/8) get an explicit
+    vmem_limit_bytes raise from _group_and_params instead of falling off
+    the fused path.  ``with_proj`` accounts for the extra resident
+    [H*D, K] out-projection weight of the whole-half-block kernel."""
     if head_dim * 2 != PAIR_W or heads % 2 != 0 or k % 128 != 0:
         return False
-    w_bytes = k * 3 * heads * head_dim * itemsize
-    if with_proj:
-        w_bytes += heads * head_dim * k * itemsize
-    tile_bytes = seq_len * (k * itemsize
-                            + 3 * heads * head_dim * (4 + itemsize)
-                            + heads * head_dim * itemsize)
-    return w_bytes + tile_bytes <= 13 * 1024 * 1024
+    return fused_block_vmem_bytes(k, heads, head_dim, seq_len, itemsize,
+                                  with_proj, g=1) <= VMEM_CEILING
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -608,7 +664,13 @@ def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
-    grp, cparams = _group_and_params(bsz, default_g=1, env="UML_BWD_G")
+    grp, cparams = _group_and_params(
+        bsz, default_g=1, env="UML_BWD_G",
+        need_fn=lambda g: None if (g == 1 and _fits_default_vmem(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True))
+        else fused_block_vmem_bytes(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True, g)
+        + 2 * g * s * (m3 + hd) * x.dtype.itemsize)
     dx, dqkv, xn, attn = pl.pallas_call(
         functools.partial(_block_bwd_kernel, eps=eps, heads=heads,
                           head_dim=head_dim),

@@ -126,8 +126,15 @@ def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
 
     bsz, s, k = x.shape
     m = w1.shape[1]
-    g, cparams = _group_and_params(bsz)
-    slab = g if bsz >= 64 else 2
+    # legacy-fit shapes (ViT-B-class, the round-2 empirical 10 MB weight
+    # gate) keep Mosaic's default limit — measured-good; only the newly
+    # enabled larger shapes get an explicit vmem raise
+    g, cparams = _group_and_params(
+        bsz, need_fn=lambda g: None if 2 * k * m * w1.dtype.itemsize
+        <= 10 * 1024 * 1024 and s <= 260
+        else mlp_block_vmem_bytes(k, m, s, w1.dtype.itemsize, g,
+                                  _mlp_slab(g, bsz, s)))
+    slab = _mlp_slab(g, bsz, s) if bsz >= 64 else 2
     return pl.pallas_call(
         functools.partial(_mlp_block_kernel, eps=eps, activation=activation,
                           slab=slab),
@@ -331,9 +338,38 @@ def mlp_block_reference(x, scale, bias, w1, b1, w2, b2, *,
             + b2.astype(jnp.float32)).astype(x.dtype)
 
 
-def supports_mlp_block(k: int, m: int) -> bool:
-    """Both weight matrices resident + per-group tiles must fit VMEM."""
-    return k % 128 == 0 and m % 128 == 0 and 2 * k * m * 2 <= 10 * 1024 * 1024
+def _mlp_slab(g, bsz, seq_len):
+    """Rows processed per in-kernel dot: the full G group at production
+    batches (amortizes MXU sublane padding — measured +0.5% at ViT-B
+    bs512) as long as the fp32 hidden slab stays modest; long-sequence
+    shapes (DINO-B/8's S=785) and small batches use smaller slabs."""
+    if bsz >= 64 and g * seq_len <= 1024:
+        return g
+    return min(g, 2) if seq_len <= 512 else 1
+
+
+def mlp_block_vmem_bytes(k, m, seq_len, itemsize=2, g=1, slab=None):
+    """Estimated VMEM need of the MLP half-block kernel: both weights
+    resident + double-buffered in/out tiles + the fp32 hidden slab."""
+    if slab is None:
+        slab = g
+    w = 2 * k * m * itemsize
+    tiles = 2 * g * seq_len * 2 * k * itemsize
+    hidden = slab * seq_len * m * (4 + itemsize)
+    return w + tiles + hidden
+
+
+def supports_mlp_block(k: int, m: int, seq_len: int = 197,
+                       itemsize: int = 2) -> bool:
+    """Lane-aligned dims; the working set must fit under the VMEM ceiling
+    (shapes past Mosaic's 16 MB scoped default — DINO-L's k=1024 m=4096,
+    DINO-B/8's S=785 — get an explicit vmem_limit raise instead of
+    falling back)."""
+    from uml_tpu.ops.fused_attention import VMEM_CEILING
+
+    return (k % 128 == 0 and m % 128 == 0
+            and mlp_block_vmem_bytes(k, m, seq_len, itemsize, g=1)
+            <= VMEM_CEILING)
 
 
 def ln_mlp_block(x, scale, bias, w1, b1, w2, b2, *, eps: float = 1e-5,
@@ -349,7 +385,8 @@ def ln_mlp_block(x, scale, bias, w1, b1, w2, b2, *, eps: float = 1e-5,
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
         impl = ("pallas" if on_tpu and x.ndim == 3 and w2.shape == (m, k)
-                and supports_mlp_block(k, m) else "reference")
+                and supports_mlp_block(k, m, x.shape[1], w1.dtype.itemsize)
+                else "reference")
     if impl == "pallas":
         from uml_tpu.ops.fused_attention import fold_ln_into_matmul
 
