@@ -53,6 +53,15 @@ def median(xs):
     return sorted(xs)[len(xs) // 2]
 
 
+def init_on_cpu(init_fn, *args):
+    """Model init on the host CPU backend, then one bulk transfer: a
+    jitted init compiles in seconds on CPU, vs ~10 min for the same
+    program through the remote-compile relay (and ~1 min eagerly)."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(init_fn)(*args)
+    return jax.device_put(variables, jax.devices()[0])
+
+
 def make_extract(model):
     @jax.jit
     def extract_sum(v, u8):
@@ -102,17 +111,22 @@ def family_bench():
 
     def dino(name):
         def build():
-            from uml_tpu.models.dino import load_dino
+            from uml_tpu.models.dino import DINO_CONFIGS, DinoViT
 
-            model, variables = load_dino(name, allow_random_init=True)
+            cfg, _ = DINO_CONFIGS[name]
+            model = DinoViT(cfg, dtype=jnp.bfloat16)
+            variables = init_on_cpu(
+                model.init, jax.random.key(0),
+                jnp.zeros((1, 224, 224, 3), jnp.float32))
             return model, variables, lambda m, x: m(normalize_images(
                 x.reshape(x.shape[0], 224, 224, 3), jnp.bfloat16))
         return build
 
     def rn50():
         model = build_clip("RN50", dtype=jnp.bfloat16)
-        variables = model.init(
-            jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        variables = init_on_cpu(
+            model.init, jax.random.key(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
             jnp.zeros((1, 77), jnp.int32))
         return model, variables, lambda m, x: m.encode_image_u8(
             x.reshape(x.shape[0], 224, 224, 3))
@@ -234,7 +248,8 @@ def main():
     # UML_ATTN lets perf experiments A/B attention layouts without edits
     model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
                        attn_impl=os.environ.get("UML_ATTN", "auto"))
-    variables = model.init(
+    variables = init_on_cpu(
+        model.init,
         jax.random.key(0),
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32),

@@ -212,9 +212,11 @@ def test_clip_cls_only_matches_full_token_path():
     np.testing.assert_allclose(np.asarray(feats), want, atol=1e-4, rtol=1e-4)
 
 
-def test_block_bwd_kernel_matches_reference_vjp():
+@pytest.mark.parametrize("causal", [False, True])
+def test_block_bwd_kernel_matches_reference_vjp(causal):
     """Hand-written Pallas backward == jax.vjp of the jnp twin
-    (interpret mode; dw/db assembled the way _fused_block_bwd does)."""
+    (interpret mode; dw/db assembled the way _fused_block_bwd does),
+    for both the vision (no-max exp2) and causal (text) softmax paths."""
     from uml_tpu.ops.fused_attention import (_block_bwd_call,
                                              _raw_block_reference)
 
@@ -228,13 +230,13 @@ def test_block_bwd_kernel_matches_reference_vjp():
 
     out, vjp = jax.vjp(
         lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
-            x, w_eff, b_eff, wo, bo, heads=heads, causal=False, eps=1e-5),
+            x, w_eff, b_eff, wo, bo, heads=heads, causal=causal, eps=1e-5),
         x, w_eff, b_eff, wo, bo)
     g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
     want = vjp(g)
 
     dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5,
-                                         heads, d, True)
+                                         heads, d, causal, True)
     nums = (((0, 1), (0, 1)), ((), ()))
     got = (dx,
            jax.lax.dot_general(xn, dqkv, nums),

@@ -19,11 +19,11 @@ their own lanes.  No padded weights (a first version padded D 64->128 and
 doubled the QKV matmul FLOPs — measured +1.9 ms/layer), and the output is
 the reference [B, S, H*D] layout straight into the standard out-proj.
 
-Backward: the non-causal half-block has a hand-written flash-style Pallas
-backward (_block_bwd_kernel) — XLA's autodiff of the twin materialized
-per-head [S, S] probabilities in HBM and ran the softmax backward as
-unfused passes.  The causal and standalone-attention paths keep the
-custom_vjp jnp-twin recompute (frozen text towers; cold paths).
+Backward: the half-block has a hand-written flash-style Pallas backward
+(_block_bwd_kernel, both non-causal and causal) — XLA's autodiff of the
+twin materialized per-head [S, S] probabilities in HBM and ran the softmax
+backward as unfused passes.  The standalone-attention path (ln_qkv_attention
+without the out-proj) keeps the custom_vjp jnp-twin recompute (cold path).
 
 Reference analog: torch nn.MultiheadAttention inside the vendored CLIP
 (engine/clip/model.py:171) — fp16 end to end, so fp32 LN/softmax
@@ -503,8 +503,8 @@ def ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo, *,
 
 def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
                       dx_ref, dqkv_ref, xn_ref, attn_ref, *,
-                      eps, heads, head_dim):
-    """Hand-written backward of the (non-causal) attention half-block.
+                      eps, heads, head_dim, causal):
+    """Hand-written backward of the attention half-block.
 
     One batch entry per program.  Recomputes LN -> qkv -> per-head-pair
     softmax in VMEM (the same exp2/no-max math as the forward, so the
@@ -549,16 +549,23 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
     # G batch entries per program (like the forward): independent chains
     # let the VLIW scheduler overlap one image's VPU softmax-backward with
     # another's MXU dots
+    s = x_ref.shape[1]
+    causal_mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_mask = cols <= rows
     for j in range(x_ref.shape[0]):
         _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
                        xn_ref, attn_ref, j, eps=eps, heads=heads,
                        head_dim=head_dim, hp=hp, ln2=ln2, scale=scale,
-                       dot_dtype=dot_dtype, half_masks=half_masks)
+                       dot_dtype=dot_dtype, half_masks=half_masks,
+                       causal_mask=causal_mask)
 
 
 def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
                    xn_ref, attn_ref, j, *, eps, heads, head_dim, hp, ln2,
-                   scale, dot_dtype, half_masks):
+                   scale, dot_dtype, half_masks, causal_mask=None):
     xf = x_ref[j].astype(jnp.float32)                        # [S, K]
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(
@@ -596,11 +603,20 @@ def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
             sc = jax.lax.dot_general(
                 qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # [S, S]
-            e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP))       # fp32
-            # same underflow guard as the forward: an all-negative score
-            # row sums to 0 without the row-max subtraction
-            linv = 1.0 / jnp.maximum(
-                jnp.sum(e, axis=-1, keepdims=True), 1e-30)   # [S, 1]
+            if causal_mask is not None:
+                # forward causal math (_pair_attention): mask, exact row
+                # max; masked entries get e = 0, so their dsc vanishes
+                # through the e factor with no explicit dsc mask
+                sc = jnp.where(causal_mask, sc, -1e30)
+                mx = jnp.max(sc, axis=-1, keepdims=True)
+                e = jnp.exp2(sc - mx)                        # fp32
+                linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            else:
+                e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP))   # fp32
+                # same underflow guard as the forward: an all-negative
+                # score row sums to 0 without the row-max subtraction
+                linv = 1.0 / jnp.maximum(
+                    jnp.sum(e, axis=-1, keepdims=True), 1e-30)  # [S, 1]
             eb = e.astype(dot_dtype)
             vm = v2 * m.astype(dot_dtype)
             o = jnp.dot(eb, vm, preferred_element_type=jnp.float32)
@@ -616,10 +632,14 @@ def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
                 preferred_element_type=jnp.float32)          # [S, S]
             rd = jnp.sum(e * dP, axis=-1, keepdims=True) * linv
             dsc = (e * (dP - rd)) * (ln2 * linv)
-            # stop-gradient through the clamp: d exp2(min(sc, C))/d sc = 0
-            # where the forward clamped (sc is bit-identical to the
-            # forward's, so the indicator matches the clamp region exactly)
-            dsc = jnp.where(sc < NOMAX_CLAMP, dsc, 0.0).astype(dot_dtype)
+            if causal_mask is None:
+                # stop-gradient through the clamp: d exp2(min(sc, C))/dsc
+                # = 0 where the forward clamped (sc is bit-identical to
+                # the forward's, so the indicator matches exactly); the
+                # causal path has no clamp and masked entries already
+                # carry e = 0
+                dsc = jnp.where(sc < NOMAX_CLAMP, dsc, 0.0)
+            dsc = dsc.astype(dot_dtype)
             dq2 = dq2 + jnp.dot(dsc, k2,
                                 preferred_element_type=jnp.float32) * (
                 m * scale)
@@ -658,9 +678,9 @@ def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "eps", "heads", "head_dim", "interpret"))
+    "eps", "heads", "head_dim", "causal", "interpret"))
 def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
-                    interpret):
+                    causal, interpret):
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
@@ -673,7 +693,7 @@ def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
         + 2 * g * s * (m3 + hd) * x.dtype.itemsize)
     dx, dqkv, xn, attn = pl.pallas_call(
         functools.partial(_block_bwd_kernel, eps=eps, heads=heads,
-                          head_dim=head_dim),
+                          head_dim=head_dim, causal=causal),
         grid=(bsz // grp,),
         compiler_params=cparams,
         in_specs=[
@@ -727,12 +747,13 @@ def _fused_block_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, causal, eps):
             (x, w_eff, b_eff, wo, bo))
 
 
-def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps):
+def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps,
+                    causal=False):
     """Assemble all five grads from the Pallas backward's outputs: dx
     directly, the weight/bias grads as large 2-dim-contraction XLA dots
     over the saved (xn, dqkv, attn)."""
     dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, eps,
-                                         heads, head_dim, False)
+                                         heads, head_dim, causal, False)
     nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
     dw_eff = jax.lax.dot_general(xn, dqkv, nums,
                                  preferred_element_type=jnp.float32)
@@ -747,12 +768,13 @@ def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps):
 def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
     x, w_eff, b_eff, wo, bo = res
     on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu and not causal:
-        # hand-written Pallas backward (see _block_bwd_kernel); the
-        # causal (text-tower) path keeps the jnp-twin backward — frozen
-        # in every reference training recipe, so it's a cold path
+    if on_tpu:
+        # hand-written Pallas backward (see _block_bwd_kernel) for both
+        # the vision and the causal (text-tower) paths — the latter only
+        # matters when the text tower is unfrozen, but costs 2x through
+        # the jnp-twin recompute when it is
         return _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads,
-                               head_dim, eps)
+                               head_dim, eps, causal)
     _, vjp = jax.vjp(
         lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
             x, w_eff, b_eff, wo, bo, heads=heads, causal=causal, eps=eps),
