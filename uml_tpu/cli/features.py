@@ -56,21 +56,48 @@ def build_parser() -> argparse.ArgumentParser:
 
 def image_features(encoder, items, augmentation, batch_size, num_workers,
                    return_tokens=False, seed=0):
-    """{'features','labels','paths'} over a split (features.py:152-184)."""
+    """{'features','labels','paths'} over a split (features.py:152-184).
+
+    Pipelined: device outputs are fetched behind a 2-batch window, so the
+    threaded JPEG decode and the host->device transfer of batch k+1
+    overlap batch k's forward (the reference's loop blocks per batch,
+    features.py:242-244)."""
+    from collections import deque
+
     loader = ImageBatchLoader(items, augmentation, batch_size,
                               num_workers=num_workers, seed=seed)
     decoder = "native-libjpeg" if loader._native is not None else "pil"
+    enqueue = getattr(encoder, "encode_images_async", None)
     feats, labels, paths = [], [], []
+    pending = deque()
+
+    def drain(limit):
+        while len(pending) > limit:
+            out, n, labs, pths = pending.popleft()
+            feats.append(np.asarray(out, dtype=np.float32)[:n])
+            labels.append(labs)
+            paths.extend(pths)
+
     for i, (imgs, labs, pths) in enumerate(loader):
-        out = encoder.encode_images(imgs, batch_pad=batch_size,
-                                    return_tokens=return_tokens)
-        if return_tokens and i == 0:
-            print("Shape of image patch embeddings:", out.shape)
-        feats.append(out)
-        labels.append(labs)
-        paths.extend(pths)
+        if enqueue is not None:
+            out, n = enqueue(imgs, batch_pad=batch_size,
+                             return_tokens=return_tokens)
+            pending.append((out, n, labs, pths))
+            drain(2)
+            if return_tokens and i == 0:
+                print("Shape of image patch embeddings:",
+                      (n, *out.shape[1:]))
+        else:
+            out = encoder.encode_images(imgs, batch_pad=batch_size,
+                                        return_tokens=return_tokens)
+            if return_tokens and i == 0:
+                print("Shape of image patch embeddings:", out.shape)
+            feats.append(out)
+            labels.append(labs)
+            paths.extend(pths)
         if (i + 1) % 20 == 0:
             print(f"   ... {i + 1}/{len(loader)} batches")
+    drain(0)
     return {
         "features": np.concatenate(feats, axis=0),
         "labels": np.concatenate(labels, axis=0),

@@ -107,9 +107,15 @@ class ClipEncoder:
         self._enc_txt = _enc_txt
         self._enc_txt_tokens = _enc_txt_tokens
 
-    def encode_images(self, imgs_uint8: np.ndarray, batch_pad: int | None = None,
-                      return_tokens: bool = False) -> np.ndarray:
-        """uint8 [B,H,W,3] -> features [B,D] (or [B,S,W] tokens)."""
+    def encode_images_async(self, imgs_uint8: np.ndarray,
+                            batch_pad: int | None = None,
+                            return_tokens: bool = False):
+        """Enqueue transfer + jitted forward WITHOUT fetching: returns
+        (device_output, n_valid).  Callers keep a small window of pending
+        outputs and fetch behind it, so batch k+1's host work (decode,
+        transfer) overlaps batch k's device forward — the extraction hot
+        loop's pipelining (reference features.py:225-248 blocks per batch).
+        Fetch with np.asarray(out)[:n]."""
         n = imgs_uint8.shape[0]
         if batch_pad is not None and n < batch_pad:
             imgs_uint8 = np.concatenate(
@@ -121,8 +127,13 @@ class ClipEncoder:
         # transfer flat: [B, H, W, 3] uint8 pads the 3-lane dim 42x on TPU
         flat = imgs_uint8.reshape(imgs_uint8.shape[0], -1)
         batch = maybe_shard_batch(self.mesh, jnp.asarray(flat))
-        out = np.asarray(fn(self.variables, batch), dtype=np.float32)
-        return out[:n]
+        return fn(self.variables, batch), n
+
+    def encode_images(self, imgs_uint8: np.ndarray, batch_pad: int | None = None,
+                      return_tokens: bool = False) -> np.ndarray:
+        """uint8 [B,H,W,3] -> features [B,D] (or [B,S,W] tokens)."""
+        out, n = self.encode_images_async(imgs_uint8, batch_pad, return_tokens)
+        return np.asarray(out, dtype=np.float32)[:n]
 
     def encode_texts(self, texts: list[str], return_tokens: bool = False):
         """list[str] -> (features [N,D] | tokens [N,77,W], eot_indices [N])."""
