@@ -107,8 +107,6 @@ def family_bench():
         except Exception as e:  # one family must not kill the headline
             out[key] = f"error: {type(e).__name__}: {e}"[:120]
 
-    from uml_tpu.ops import normalize_images
-
     def dino(name):
         def build():
             from uml_tpu.models.dino import DINO_CONFIGS, DinoViT
@@ -118,8 +116,7 @@ def family_bench():
             variables = init_on_cpu(
                 model.init, jax.random.key(0),
                 jnp.zeros((1, 224, 224, 3), jnp.float32))
-            return model, variables, lambda m, x: m(normalize_images(
-                x.reshape(x.shape[0], 224, 224, 3), jnp.bfloat16))
+            return model, variables, lambda m, x: m(x, from_uint8=True)
         return build
 
     def rn50():
@@ -225,7 +222,11 @@ def train_bench(model, variables):
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
 
-    @jax.jit
+    import functools
+
+    # donate params+opt state like the real train loop (train/supervised
+    # step donates): avoids fresh allocations + copies every step
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(p, o, u8, labels):
         loss, grads = jax.value_and_grad(loss_fn)(p, u8, labels)
         updates, o = tx.update(grads, o, p)

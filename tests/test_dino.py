@@ -57,3 +57,26 @@ def test_pos_embedding_interpolation():
     np.testing.assert_array_equal(out[:, 0], pos[:, 0])  # cls untouched
     same = interpolate_pos_embeddings(pos, 4, 4)
     np.testing.assert_array_equal(same, pos)
+
+
+def test_from_uint8_matches_normalize_then_conv():
+    """The uint8 fast path (normalization folded into the patch matmul,
+    flat transfer layout) equals normalize -> conv within float tolerance."""
+    import jax
+
+    from uml_tpu.models.dino import DINO_CONFIGS, DinoViT
+    from uml_tpu.ops import normalize_images
+
+    cfg, _ = DINO_CONFIGS["vit_base_patch16_224_dino"]
+    model = DinoViT(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 224, 224, 3), dtype=np.uint8)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
+
+    want = model.apply(variables, normalize_images(jnp.asarray(u8),
+                                                   jnp.float32))
+    got = model.apply(variables, jnp.asarray(u8.reshape(2, -1)),
+                      from_uint8=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

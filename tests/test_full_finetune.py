@@ -31,7 +31,8 @@ def test_raw_stream_shapes_and_reshuffle(tmp_path):
                             size=(32, 32))
     it = iter(stream)
     imgs, labels, weights = next(it)
-    assert imgs.shape == (16, 32, 32, 3) and imgs.dtype == np.uint8
+    # flat uint8: the TPU transfer layout (loader.py RawImageStream)
+    assert imgs.shape == (16, 32 * 32 * 3) and imgs.dtype == np.uint8
     # 24 items, bs 16 -> second batch padded 8 real + 8 zero-weight
     _, labels2, weights2 = next(it)
     assert weights2.sum() == 8

@@ -279,19 +279,20 @@ class _HFEncoderAdapter:
                 self.text_model = _RandomTextEncoder()
         if vision_model:
             from uml_tpu.models.dino import load_dino
-            from uml_tpu.ops import normalize_images
 
             model, variables = load_dino(
                 vision_model, allow_random_init=allow_random_init)
             self._variables = variables
 
+            # flat uint8 transfer + normalization folded into the patch
+            # matmul (a 4D uint8 batch pads the 3-lane dim 42x on TPU)
             @jax.jit
             def _enc(v, u8):
-                return model.apply(v, normalize_images(u8, jnp.bfloat16))
+                return model.apply(v, u8, from_uint8=True)
 
             @jax.jit
             def _enc_tokens(v, u8):
-                return model.apply(v, normalize_images(u8, jnp.bfloat16),
+                return model.apply(v, u8, from_uint8=True,
                                    return_tokens=True)
 
             self._enc, self._enc_tokens = _enc, _enc_tokens
@@ -301,7 +302,10 @@ class _HFEncoderAdapter:
         assert self.text_model is not None, "no language model configured"
         return self.text_model.encode(texts, return_tokens=return_tokens)
 
-    def encode_images(self, imgs_uint8, batch_pad=None, return_tokens=False):
+    def encode_images_async(self, imgs_uint8, batch_pad=None,
+                            return_tokens=False):
+        """Enqueue transfer + forward without fetching (see
+        ClipEncoder.encode_images_async)."""
         assert self.vision is not None, "no vision model configured"
         import jax.numpy as jnp
 
@@ -311,9 +315,13 @@ class _HFEncoderAdapter:
                 [imgs_uint8,
                  np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
         fn = self._enc_tokens if return_tokens else self._enc
-        out = np.asarray(fn(self._variables, jnp.asarray(imgs_uint8)),
-                         dtype=np.float32)
-        return out[:n]
+        flat = imgs_uint8.reshape(imgs_uint8.shape[0], -1)
+        return fn(self._variables, jnp.asarray(flat)), n
+
+    def encode_images(self, imgs_uint8, batch_pad=None, return_tokens=False):
+        out, n = self.encode_images_async(imgs_uint8, batch_pad,
+                                          return_tokens)
+        return np.asarray(out, dtype=np.float32)[:n]
 
 
 def main(args):

@@ -157,7 +157,8 @@ def setup(datasets, hparams, args):
             imgs, labels = [], []
             for im, lab, _ in ImageBatchLoader(items, "crop", 64,
                                                seed=args.seed):
-                imgs.append(im)
+                # flat uint8: the TPU transfer layout (see RawImageStream)
+                imgs.append(im.reshape(im.shape[0], -1))
                 labels.append(lab)
             return np.concatenate(imgs), np.concatenate(labels)
 

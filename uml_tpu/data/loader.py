@@ -92,7 +92,10 @@ class RawImageStream:
     Each epoch reshuffles the items and re-decodes with fresh augmentation
     draws (DataLoader(shuffle=True) parity, finetune.py:370); partial final
     batches are padded to batch_size with zero sample-weights so the jitted
-    step keeps one shape.  Yields (uint8 [B,H,W,3], labels int64, weights).
+    step keeps one shape.  Yields (uint8 FLAT [B, H*W*3], labels int64,
+    weights) — the flat layout avoids the TPU's 3-wide-lane-dim padding on
+    the host->device transfer; consumers reshape inside jit where the
+    repack fuses into the patch extraction.
     """
 
     def __init__(self, items, augmentation, batch_size, seed=0,
@@ -132,11 +135,12 @@ class RawImageStream:
             skip_batches = 0
             for imgs, labels, _ in loader:
                 n = len(labels)
+                imgs = imgs.reshape(n, -1)
                 weights = np.ones(self.batch_size, np.float32)
                 if n < self.batch_size:
                     pad = self.batch_size - n
                     imgs = np.concatenate(
-                        [imgs, np.zeros((pad, *imgs.shape[1:]), np.uint8)])
+                        [imgs, np.zeros((pad, imgs.shape[1]), np.uint8)])
                     labels = np.concatenate([labels, np.zeros(pad, np.int64)])
                     weights[n:] = 0.0
                 yield imgs, labels, weights

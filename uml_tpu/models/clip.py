@@ -444,9 +444,15 @@ class ClipResNetModel(nn.Module):
                            train_bn=train_bn)
 
     def encode_image_u8(self, images_u8, return_tokens: bool = False):
-        """ResNet tower: no folding yet; normalize then encode."""
+        """ResNet tower: no folding yet; normalize then encode.  Accepts
+        flat [B, H*W*3] (the TPU transfer layout) or [B, H, W, 3]."""
         from uml_tpu.ops.image_norm import normalize_images
 
+        if images_u8.ndim == 2:
+            # square RGB assumed; infer the resolution from the flat dim
+            # (tests run the tower at smaller sizes than the config's 224)
+            r = int(round((images_u8.shape[1] // 3) ** 0.5))
+            images_u8 = images_u8.reshape(images_u8.shape[0], r, r, 3)
         return self.visual(normalize_images(images_u8, self.dtype),
                            return_tokens=return_tokens)
 

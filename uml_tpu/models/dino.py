@@ -152,19 +152,56 @@ class DinoBlock(nn.Module):
                             eps=cfg.ln_eps, activation="gelu_exact")
 
 
+class _ConvKernelBias(nn.Module):
+    """kernel/bias params matching flax nn.Conv's names, shapes, inits —
+    so the uint8 fast path and the plain conv path share one param tree."""
+
+    shape: tuple  # (kh, kw, in, out)
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.shape[-1],))
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
 class DinoViT(nn.Module):
     config: DinoConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pixels, return_tokens: bool = False, pool: str = "token"):
+    def __call__(self, pixels, return_tokens: bool = False, pool: str = "token",
+                 from_uint8: bool = False):
         cfg = self.config
-        x = nn.Conv(cfg.hidden_size,
-                    kernel_size=(cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size),
-                    dtype=self.dtype, name="patch_embed")(pixels.astype(self.dtype))
-        b = x.shape[0]
-        x = x.reshape(b, cfg.grid_size**2, cfg.hidden_size)
+        b = pixels.shape[0]
+        kernel, conv_bias = _ConvKernelBias(
+            (cfg.patch_size, cfg.patch_size, 3, cfg.hidden_size),
+            name="patch_embed")()
+        if from_uint8:
+            # uint8 fast path (same trick as the CLIP tower): the
+            # reference applies one CLIP mean/std everywhere
+            # (engine/transforms/default.py:19-20), so normalization folds
+            # into the patch matmul and the uint8 batch (flat [B, H*W*3]
+            # to avoid the 3-lane pad) feeds the MXU directly
+            from uml_tpu.ops.patch_embed import patch_embed_u8
+
+            if pixels.ndim == 2:
+                # square RGB assumed; infer resolution from the flat dim
+                r = int(round((pixels.shape[1] // 3) ** 0.5))
+                pixels = pixels.reshape(b, r, r, 3)
+            x = patch_embed_u8(pixels, kernel, dtype=self.dtype)
+            x = (x + conv_bias.astype(jnp.float32)).astype(self.dtype)
+        else:
+            # identical to nn.Conv: VALID padding, stride = patch size
+            x = jax.lax.conv_general_dilated(
+                pixels.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(cfg.patch_size, cfg.patch_size),
+                padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = x.reshape(b, cfg.grid_size**2, cfg.hidden_size)
+            x = x + conv_bias.astype(x.dtype)
 
         cls_token = self.param("cls_token", nn.initializers.zeros,
                                (1, 1, cfg.hidden_size))

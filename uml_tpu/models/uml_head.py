@@ -106,10 +106,18 @@ class UMLHead:
             return params["img_scale"], params["txt_scale"]
         return jnp.float32(1.0), jnp.float32(1.0)
 
+    @staticmethod
+    def _is_images(x) -> bool:
+        """Backbone inputs are 4D pixel batches or (any-rank) uint8 —
+        raw streams transfer FLAT [B, H*W*3] uint8 (a 4D uint8 layout
+        pads the 3-wide lane dim on TPU); precomputed features are 2D
+        floats."""
+        return x.ndim == 4 or x.dtype == jnp.uint8
+
     def image_features(self, params: dict, images_or_feats) -> jax.Array:
         """Backbone forward (+ img_proj) -> shared-space features."""
         x = images_or_feats
-        if self.backbone is not None and x.ndim == 4:
+        if self.backbone is not None and self._is_images(x):
             bparams = (
                 params["backbone"] if not self.freeze_backbone
                 else self.backbone_params
@@ -133,7 +141,7 @@ class UMLHead:
         (``merge_bn_updates``).  No-op difference for BN-free towers.
         """
         if (self.backbone_train is None or self.freeze_backbone
-                or self.backbone is None or images.ndim != 4):
+                or self.backbone is None or not self._is_images(images)):
             return self.image_features(params, images), None
         x, upd = self.backbone_train(params["backbone"], images)
         x = x.astype(jnp.float32)
@@ -184,7 +192,10 @@ def make_uml_clip_head(clip_model, clip_variables, num_classes,
 
     def backbone(variables, images):
         if images.dtype == jnp.uint8:
-            images = normalize_images(images, clip_model.dtype)
+            # flat or 4D uint8: normalization folds into the patch embed
+            # (ViT) or runs fused before the stem (RN)
+            return clip_model.apply(
+                variables, images, method=lambda m, x: m.encode_image_u8(x))
         return clip_model.apply(
             variables, images, method=lambda m, x: m.encode_image(x))
 
@@ -193,6 +204,10 @@ def make_uml_clip_head(clip_model, clip_variables, num_classes,
         # RN50/101 full finetune: BatchNorm trains torch-style
         def backbone_train(variables, images):
             if images.dtype == jnp.uint8:
+                if images.ndim == 2:
+                    # square RGB; infer resolution from the flat dim
+                    r = int(round((images.shape[1] // 3) ** 0.5))
+                    images = images.reshape(images.shape[0], r, r, 3)
                 images = normalize_images(images, clip_model.dtype)
             return clip_model.apply(
                 variables, images, mutable=["bn_updates"],
@@ -218,11 +233,10 @@ def make_uml_dino_head(dino_model, dino_variables, num_classes,
     optional img_proj into the text dim, shared head, learnable scales."""
     import jax.numpy as jnp
 
-    from uml_tpu.ops import normalize_images
-
     def backbone(variables, images):
         if images.dtype == jnp.uint8:
-            images = normalize_images(images, dino_model.dtype)
+            # flat or 4D uint8; normalization folded into the patch matmul
+            return dino_model.apply(variables, images, from_uint8=True)
         return dino_model.apply(variables, images)
 
     return UMLHead(

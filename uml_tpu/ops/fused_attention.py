@@ -584,7 +584,7 @@ def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
         preferred_element_type=jnp.float32)                  # [S, H*D]
 
     s = xf.shape[0]
-    dxn = jnp.zeros_like(xf)
+    dqkv_cols = []
     for p in range(heads // 2):
         q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
         k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
@@ -649,27 +649,18 @@ def _block_bwd_one(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
         attn_pair = attn_pair + bv2[None, :]
         attn_ref[j, :, p * PAIR_W:(p + 1) * PAIR_W] = attn_pair.astype(
             attn_ref.dtype)
-        dq2b = dq2.astype(dot_dtype)
-        dk2b = dk2.astype(dot_dtype)
-        dv2b = dv2.astype(dot_dtype)
-        dqkv_ref[j, :, p * PAIR_W:(p + 1) * PAIR_W] = dq2b.astype(
-            dqkv_ref.dtype)
-        dqkv_ref[j, :, hp + p * PAIR_W: hp + (p + 1) * PAIR_W] = dk2b.astype(
-            dqkv_ref.dtype)
-        dqkv_ref[j, :, 2 * hp + p * PAIR_W:
-                 2 * hp + (p + 1) * PAIR_W] = dv2b.astype(dqkv_ref.dtype)
-        # dxn accumulates per pair against the resident weight's column
-        # slices: dxn += dq @ Wq_pT + dk @ Wk_pT + dv @ Wv_pT
-        nums = (((1,), (1,)), ((), ()))
-        dxn = dxn + jax.lax.dot_general(
-            dq2b, w_ref[:, p * PAIR_W:(p + 1) * PAIR_W], nums,
-            preferred_element_type=jnp.float32)
-        dxn = dxn + jax.lax.dot_general(
-            dk2b, w_ref[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W], nums,
-            preferred_element_type=jnp.float32)
-        dxn = dxn + jax.lax.dot_general(
-            dv2b, w_ref[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W],
-            nums, preferred_element_type=jnp.float32)
+        dqkv_cols.append((dq2.astype(dot_dtype), dk2.astype(dot_dtype),
+                          dv2.astype(dot_dtype)))
+
+    # assemble the packed [S, 3*H*D] dqkv once, then dxn = dqkv @ w_effT as
+    # ONE full-width MXU dot instead of 3 slice-dots per pair (18 small
+    # dots pipelined worse than one big one)
+    dqkvb = jnp.concatenate(
+        [c[q] for q in range(3) for c in dqkv_cols], axis=-1)
+    dqkv_ref[j] = dqkvb.astype(dqkv_ref.dtype)
+    dxn = jax.lax.dot_general(
+        dqkvb, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     m1 = jnp.mean(dxn, axis=-1, keepdims=True)
     m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
