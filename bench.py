@@ -172,9 +172,19 @@ def pipeline_bench(extract_sum, variables):
     host_batches = [b[0].reshape(len(b[1]), -1) for b in loader]
     decode_rate = PIPELINE_IMAGES / (time.time() - t0)
 
+    def xfer(f):
+        # sync the transfer: an unsynced device_put through the axon relay
+        # defers the send into a ~10x slower use-triggered path (measured
+        # in tools/exp_pipeline_compose.py: 5600 img/s synced vs ~250
+        # composed unsynced); syncing on the TRANSFER THREAD still
+        # overlaps the device's in-flight forwards
+        d = jax.device_put(f)
+        d.block_until_ready()
+        return d
+
     t0 = time.time()
     for f in host_batches:
-        jax.device_put(f).block_until_ready()
+        xfer(f)
     transfer_rate = PIPELINE_IMAGES / (time.time() - t0)
 
     # full pipeline: decode prefetch -> transfer thread (lag 2) -> forward
@@ -185,7 +195,7 @@ def pipeline_bench(extract_sum, variables):
         futs, outs = deque(), []
         for imgs, _, _ in loader:
             futs.append(pool.submit(
-                jax.device_put, imgs.reshape(imgs.shape[0], -1)))
+                xfer, imgs.reshape(imgs.shape[0], -1)))
             if len(futs) >= 2:
                 outs.append(extract_sum(variables, futs.popleft().result()))
         while futs:

@@ -120,10 +120,17 @@ def main():
     t_async = time.time() - t0
     print(f"5. transfer+forward async: {N_IMAGES / t_async:8.1f} img/s")
 
-    # 6. threaded double-buffer: one worker does device_put ahead
+    def xfer(f):
+        # sync the transfer: an unsynced device_put through the axon relay
+        # defers into a ~10x slower use-triggered send (exp_pipeline_compose)
+        d = jax.device_put(f)
+        d.block_until_ready()
+        return d
+
+    # 6. threaded double-buffer: one worker transfers (synced) ahead
     with ThreadPoolExecutor(max_workers=1) as pool:
         t0 = time.time()
-        futs = [pool.submit(jax.device_put, f) for f in flat]
+        futs = [pool.submit(xfer, f) for f in flat]
         outs = [extract_sum(variables, fu.result()) for fu in futs]
         _ = [float(o) for o in outs]
         t_db = time.time() - t0
@@ -140,7 +147,7 @@ def main():
         outs = []
         for imgs, _, _ in loader:
             futs.append(pool.submit(
-                jax.device_put, imgs.reshape(imgs.shape[0], -1)))
+                xfer, imgs.reshape(imgs.shape[0], -1)))
             if len(futs) >= 2:
                 outs.append(extract_sum(variables, futs.popleft().result()))
         while futs:

@@ -316,7 +316,13 @@ class _HFEncoderAdapter:
                  np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
         fn = self._enc_tokens if return_tokens else self._enc
         flat = imgs_uint8.reshape(imgs_uint8.shape[0], -1)
-        return fn(self._variables, jnp.asarray(flat)), n
+        batch = jnp.asarray(flat)
+        # sync the transfer before dispatch (slow use-triggered relay send
+        # otherwise; see ClipEncoder.encode_images_async)
+        import jax
+
+        jax.block_until_ready(batch)
+        return fn(self._variables, batch), n
 
     def encode_images(self, imgs_uint8, batch_pad=None, return_tokens=False):
         out, n = self.encode_images_async(imgs_uint8, batch_pad,

@@ -127,6 +127,11 @@ class ClipEncoder:
         # transfer flat: [B, H, W, 3] uint8 pads the 3-lane dim 42x on TPU
         flat = imgs_uint8.reshape(imgs_uint8.shape[0], -1)
         batch = maybe_shard_batch(self.mesh, jnp.asarray(flat))
+        # sync the transfer before dispatch: an unsynced transfer through
+        # the axon relay falls into a ~10x slower use-triggered send path
+        # (tools/exp_pipeline_compose.py); prior batches' forwards are
+        # already enqueued, so the device stays busy during the sync
+        jax.block_until_ready(batch)
         return fn(self.variables, batch), n
 
     def encode_images(self, imgs_uint8: np.ndarray, batch_pad: int | None = None,

@@ -349,6 +349,11 @@ def train(
                  if has_image else zero_img)
         txt_b = (maybe_shard_batch(mesh, tuple(map(jnp.asarray, next(text_iter))))
                  if has_text else zero_txt)
+        # sync the batch transfer before dispatch: an unsynced transfer
+        # through the axon relay falls into a ~10x slower use-triggered
+        # send path (matters for raw uint8 image batches); the previous
+        # step is still executing on device during the sync
+        jax.block_until_ready((img_b, txt_b))
         params, opt_state, loss, metrics = step(
             params, opt_state, *img_b, *txt_b, cap_img, cap_txt, cap_lab)
 
