@@ -23,8 +23,13 @@ Extras:
     JPEGs — threaded host decode (native libjpeg) -> threaded uint8
     host->device transfer (double-buffered) -> jitted forward, with
     per-stage rates reported alongside so regressions in any stage are
-    visible.  In this environment the axon relay's host->device link and
-    the 1-CPU container's decode rate bound it, not the model.
+    visible.  D2H fetches are DEFERRED to the end of the stream
+    (tools/exp_poison_trigger.py: through the axon relay the first
+    device->host fetch permanently drops host->device puts from
+    ~1400 MB/s to ~26 MB/s; compile, dispatch, and block_until_ready
+    are all safe).  The pipeline therefore runs before any fetching
+    benchmark in this process, and all device inputs for the later
+    benchmarks are pre-staged while the link is still fast.
 """
 
 import json
@@ -71,12 +76,15 @@ def make_extract(model):
     return extract_sum
 
 
-def device_bench(extract_sum, variables, batch=BATCH, flat_dim=224 * 224 * 3,
-                 iters=ITERS, runs=RUNS):
+def stage_input(batch, flat_dim):
     # flat [B, H*W*3]: a 4D uint8 layout pads the 3-lane dim 42x on TPU
-    imgs = jax.device_put(jnp.asarray(
+    return jax.device_put(jnp.asarray(
         np.random.default_rng(0).integers(
             0, 256, (batch, flat_dim), dtype=np.uint8)))
+
+
+def device_bench(extract_sum, variables, imgs, iters=ITERS, runs=RUNS):
+    batch = imgs.shape[0]
     float(extract_sum(variables, imgs))  # compile
     rates = []
     for _ in range(runs):
@@ -87,13 +95,14 @@ def device_bench(extract_sum, variables, batch=BATCH, flat_dim=224 * 224 * 3,
     return median(rates)
 
 
-def family_bench():
-    """Extraction throughput for the other first-class encoder towers
-    (random-init weights — throughput doesn't depend on weight values).
-    Smaller batch/iters than the headline: these are regression trackers."""
-    out = {}
+def family_setups():
+    """Build the other first-class encoder towers and pre-stage their
+    weights + inputs on device (random-init weights — throughput doesn't
+    depend on weight values).  Building happens BEFORE the pipeline bench
+    so every device_put rides the fast pre-fetch link."""
+    setups = []
 
-    def run(key, build_fn, res):
+    def add(key, build_fn, res):
         try:
             model, variables, method = build_fn()
 
@@ -101,11 +110,11 @@ def family_bench():
             def extract(v, u8):
                 return model.apply(v, u8, method=method).sum()
 
-            out[key] = round(device_bench(
-                extract, variables, batch=512, flat_dim=res * res * 3,
-                iters=5, runs=RUNS), 1)
+            setups.append(
+                (key, extract, variables, stage_input(512, res * res * 3)))
         except Exception as e:  # one family must not kill the headline
-            out[key] = f"error: {type(e).__name__}: {e}"[:120]
+            setups.append((key, None, None,
+                           f"error: {type(e).__name__}: {e}"[:120]))
 
     def dino(name):
         def build():
@@ -128,13 +137,27 @@ def family_bench():
         return model, variables, lambda m, x: m.encode_image_u8(
             x.reshape(x.shape[0], 224, 224, 3))
 
-    run("extract_dinov2_vitb14_img_per_s",
+    add("extract_dinov2_vitb14_img_per_s",
         dino("vit_base_patch14_dinov2.lvd142m"), 224)
-    run("extract_dinov2_vitl14_img_per_s",
+    add("extract_dinov2_vitl14_img_per_s",
         dino("vit_large_patch14_dinov2.lvd142m"), 224)
-    run("extract_dino_vitb8_img_per_s",
+    add("extract_dino_vitb8_img_per_s",
         dino("vit_base_patch8_224_dino"), 224)
-    run("extract_clip_rn50_img_per_s", rn50, 224)
+    add("extract_clip_rn50_img_per_s", rn50, 224)
+    return setups
+
+
+def family_bench(setups):
+    out = {}
+    for key, extract, variables, imgs in setups:
+        if extract is None:
+            out[key] = imgs  # the error string
+            continue
+        try:
+            out[key] = round(
+                device_bench(extract, variables, imgs, iters=5), 1)
+        except Exception as e:
+            out[key] = f"error: {type(e).__name__}: {e}"[:120]
     return out
 
 
@@ -144,7 +167,14 @@ def pipeline_bench(extract_sum, variables):
     The transfer runs on a dedicated thread (double-buffered: batch k+1
     crosses the link while batch k computes); decode prefetch runs ahead
     of both.  Per-stage rates are measured first so the composition's gap
-    to min(stages) is attributable."""
+    to min(stages) is attributable.
+
+    No device->host VALUE fetch happens until the stream ends: through
+    the axon relay the first fetch permanently collapses the H2D link
+    ~50x (tools/exp_poison_trigger.py), while ``block_until_ready`` on
+    compute results is safe — so backpressure uses readiness waits and
+    the feature fetch is a single deferred drain, exactly how
+    cli/features.py's extraction loop streams a real dataset."""
     from uml_tpu.data.loader import ImageBatchLoader
 
     try:
@@ -175,9 +205,8 @@ def pipeline_bench(extract_sum, variables):
     def xfer(f):
         # sync the transfer: an unsynced device_put through the axon relay
         # defers the send into a ~10x slower use-triggered path (measured
-        # in tools/exp_pipeline_compose.py: 5600 img/s synced vs ~250
-        # composed unsynced); syncing on the TRANSFER THREAD still
-        # overlaps the device's in-flight forwards
+        # in tools/exp_pipeline_compose.py); syncing on the TRANSFER
+        # THREAD still overlaps the device's in-flight forwards
         d = jax.device_put(f)
         d.block_until_ready()
         return d
@@ -187,7 +216,12 @@ def pipeline_bench(extract_sum, variables):
         xfer(f)
     transfer_rate = PIPELINE_IMAGES / (time.time() - t0)
 
-    # full pipeline: decode prefetch -> transfer thread (lag 2) -> forward
+    # compile the forward WITHOUT a value fetch (a fetch here would poison
+    # the timed run's transfers); completion waits are safe
+    extract_sum(variables, xfer(host_batches[0])).block_until_ready()
+
+    # full pipeline: decode prefetch -> transfer thread (lag 2) -> forward,
+    # readiness-wait backpressure, one deferred fetch at stream end
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
                               prefetch=4)
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -198,9 +232,11 @@ def pipeline_bench(extract_sum, variables):
                 xfer, imgs.reshape(imgs.shape[0], -1)))
             if len(futs) >= 2:
                 outs.append(extract_sum(variables, futs.popleft().result()))
+            if len(outs) >= 4:
+                outs[-4].block_until_ready()
         while futs:
             outs.append(extract_sum(variables, futs.popleft().result()))
-        _ = [float(o) for o in outs]
+        _ = [float(o) for o in outs]  # deferred drain (first D2H fetch)
         pipe_rate = PIPELINE_IMAGES / (time.time() - t0)
     return {
         "pipeline_img_per_s": round(pipe_rate, 1),
@@ -209,16 +245,14 @@ def pipeline_bench(extract_sum, variables):
     }
 
 
-def train_bench(model, variables):
+def train_bench(model, variables, u8):
     """Full-model finetune step (fwd+bwd+adamw through the ViT tower) —
     the reference's flagship training path (finetune.py:120-288 with
     full_ds_full_model_finetune).  bs128 matches its hyper grid."""
     import optax
 
-    b = 128
+    b = u8.shape[0]
     rng = np.random.default_rng(0)
-    u8 = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (b, 224 * 224 * 3), dtype=np.uint8)))
     labels = jnp.asarray(rng.integers(0, 100, (b,)), jnp.int32)
     head = jnp.asarray(rng.standard_normal((512, 100)) * 0.01, jnp.float32)
     params = variables["params"]
@@ -268,10 +302,17 @@ def main():
     extract_sum = make_extract(model)
     extract_pipe = make_extract(model)  # separate jit cache entry per shape
 
-    img_per_s = device_bench(extract_sum, variables)
+    # pre-stage every device input while the H2D link is fast, and run the
+    # pipeline bench FIRST: the first D2H fetch in a process permanently
+    # collapses the relay's bulk-transfer path (tools/exp_poison_trigger.py)
+    headline_imgs = stage_input(BATCH, 224 * 224 * 3)
+    train_u8 = stage_input(128, 224 * 224 * 3)
+    setups = [] if SKIP_FAMILIES else family_setups()
+
     pipe = pipeline_bench(extract_pipe, variables)
-    train_rate = train_bench(model, variables)
-    families = {} if SKIP_FAMILIES else family_bench()
+    img_per_s = device_bench(extract_sum, variables, headline_imgs)
+    train_rate = train_bench(model, variables, train_u8)
+    families = {} if SKIP_FAMILIES else family_bench(setups)
 
     record = {
         "metric": "clip_vitb16_feature_extraction_throughput",
@@ -285,8 +326,8 @@ def main():
     if pipe is not None:
         record.update(pipe)
         record["pipeline_note"] = (
-            "jpeg decode->transfer->forward, decode+transfer on threads; "
-            "env-bound by the axon relay link and 1-CPU host decode")
+            "jpeg decode->transfer->forward, decode+transfer on threads, "
+            "deferred-fetch streaming; env-bound by 1-CPU host decode")
     print(json.dumps(record))
 
 

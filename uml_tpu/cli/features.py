@@ -54,26 +54,53 @@ def build_parser() -> argparse.ArgumentParser:
 # ---------------------------------------------------------------------------
 
 
+class _LazySplit:
+    """A fully-enqueued extraction stream whose D2H fetch is deferred.
+
+    ``finalize()`` drains the pending device outputs into host arrays.
+    Deferral lets every split of a run (train, val, test) cross the
+    host->device link before the first fetch degrades it (see
+    image_features docstring)."""
+
+    def __init__(self, finalize_fn):
+        self._finalize_fn = finalize_fn
+
+    def finalize(self):
+        return self._finalize_fn()
+
+
 def image_features(encoder, items, augmentation, batch_size, num_workers,
-                   return_tokens=False, seed=0):
+                   return_tokens=False, seed=0, defer=False):
     """{'features','labels','paths'} over a split (features.py:152-184).
 
-    Pipelined: device outputs are fetched behind a 2-batch window, so the
-    threaded JPEG decode and the host->device transfer of batch k+1
-    overlap batch k's forward (the reference's loop blocks per batch,
-    features.py:242-244)."""
+    Pipelined, deferred-fetch streaming: device outputs accumulate in a
+    pending window and are only FETCHED once the window exceeds a byte
+    budget (default 1 GiB, $UML_FETCH_BUDGET_MB) or the stream ends, while
+    backpressure uses fetch-free readiness waits.  Rationale: threaded
+    JPEG decode and the host->device transfer of batch k+1 overlap batch
+    k's forward (the reference's loop blocks per batch, features.py:
+    242-244), and through the axon relay the first device->host fetch
+    permanently collapses the H2D bulk-transfer path ~50x
+    (tools/exp_poison_trigger.py) — so a plain 512-dim extraction sweep
+    never fetches mid-stream unless the split exceeds ~500k images."""
     from collections import deque
 
+    import jax
+
+    budget = int(os.environ.get("UML_FETCH_BUDGET_MB", "1024")) * 2**20
     loader = ImageBatchLoader(items, augmentation, batch_size,
                               num_workers=num_workers, seed=seed)
     decoder = "native-libjpeg" if loader._native is not None else "pil"
     enqueue = getattr(encoder, "encode_images_async", None)
     feats, labels, paths = [], [], []
     pending = deque()
+    pending_bytes = 0
 
-    def drain(limit):
-        while len(pending) > limit:
+    def drain(limit_bytes):
+        nonlocal pending_bytes
+        while pending and pending_bytes > limit_bytes:
             out, n, labs, pths = pending.popleft()
+            pending_bytes -= out.nbytes
             feats.append(np.asarray(out, dtype=np.float32)[:n])
             labels.append(labs)
             paths.extend(pths)
@@ -83,7 +110,10 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
             out, n = enqueue(imgs, batch_pad=batch_size,
                              return_tokens=return_tokens)
             pending.append((out, n, labs, pths))
-            drain(2)
+            pending_bytes += out.nbytes
+            drain(budget)
+            if len(pending) >= 8:  # fetch-free dispatch backpressure
+                jax.block_until_ready(pending[-8][0])
             if return_tokens and i == 0:
                 print("Shape of image patch embeddings:",
                       (n, *out.shape[1:]))
@@ -97,15 +127,19 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
             paths.extend(pths)
         if (i + 1) % 20 == 0:
             print(f"   ... {i + 1}/{len(loader)} batches")
-    drain(0)
-    return {
-        "features": np.concatenate(feats, axis=0),
-        "labels": np.concatenate(labels, axis=0),
-        "paths": paths,
-        # provenance: native IDCT-scaled decode differs pixel-wise from PIL
-        # (~2/255 mean); record which path produced this cache
-        "decoder": decoder,
-    }
+
+    def _finalize():
+        drain(0)
+        return {
+            "features": np.concatenate(feats, axis=0),
+            "labels": np.concatenate(labels, axis=0),
+            "paths": paths,
+            # provenance: native IDCT-scaled decode differs pixel-wise from
+            # PIL (~2/255 mean); record which path produced this cache
+            "decoder": decoder,
+        }
+
+    return _LazySplit(_finalize) if defer else _finalize()
 
 
 def text_features(encoder, dsname, lab2cname, augmentation,
@@ -176,28 +210,46 @@ def _should_write(path: str, overwrite: bool, what: str) -> bool:
     return False
 
 
-def prepare_image_features(encoder, args, ds, mode="train"):
+def plan_image_features(encoder, args, ds, mode="train"):
+    """Enqueue a split's whole extraction stream with DEFERRED fetches;
+    returns [(path, lazy-structure, lab2cname)] to finalize later (or []
+    when the cache already exists).  Deferral keeps the host->device link
+    on its fast path until every split of the run has streamed."""
     encoder_name = args.clip_encoder if args.use_clip else args.vision_model
     path = img_outdir(args.feature_dir, encoder_name, args.dataset,
                       args.image_augmentation, args.train_shot, args.seed,
                       mode, args.return_tokens)
     makedirs(os.path.dirname(path))
     if not _should_write(path, args.overwrite, "image features"):
-        return
+        return []
     if mode == "train":
-        features = {
+        lazy = {
             "train": image_features(encoder, ds["train"], args.image_augmentation,
                                     args.batch_size, args.num_workers,
-                                    args.return_tokens, args.seed),
+                                    args.return_tokens, args.seed, defer=True),
             "val": image_features(encoder, ds["val"], args.image_augmentation,
                                   args.batch_size, args.num_workers,
-                                  args.return_tokens, args.seed),
+                                  args.return_tokens, args.seed, defer=True),
         }
     else:
-        features = image_features(encoder, ds["test"], "crop", args.batch_size,
-                                  args.num_workers, args.return_tokens, args.seed)
-    features["lab2cname"] = ds.get("lab2cname")
-    save_cache(features, path)
+        lazy = image_features(encoder, ds["test"], "crop", args.batch_size,
+                              args.num_workers, args.return_tokens, args.seed,
+                              defer=True)
+    return [(path, lazy, ds.get("lab2cname"))]
+
+
+def run_image_feature_jobs(jobs):
+    for path, lazy, lab2cname in jobs:
+        if isinstance(lazy, dict):
+            features = {k: v.finalize() for k, v in lazy.items()}
+        else:
+            features = lazy.finalize()
+        features["lab2cname"] = lab2cname
+        save_cache(features, path)
+
+
+def prepare_image_features(encoder, args, ds, mode="train"):
+    run_image_feature_jobs(plan_image_features(encoder, args, ds, mode))
 
 
 def prepare_text_features(encoder, args, ds):
@@ -367,8 +419,11 @@ def main(args):
                                     mesh=mesh)
 
     if args.dataset not in IMAGENET_TESTSETS:
-        prepare_image_features(encoder, args, datasets, mode="train")
-        prepare_image_features(encoder, args, datasets, mode="test")
+        # stream BOTH image passes before the first fetch (see
+        # image_features: the first D2H fetch degrades the relay link)
+        jobs = plan_image_features(encoder, args, datasets, mode="train")
+        jobs += plan_image_features(encoder, args, datasets, mode="test")
+        run_image_feature_jobs(jobs)
         prepare_text_features(encoder, args, datasets)
     else:
         print(f"=> Saving ImageNet testset: {args.dataset}, "
