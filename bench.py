@@ -21,15 +21,24 @@ Extras:
     (fwd+bwd+adamw through the tower, finetune.py:120-288 semantics)
   * ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
     JPEGs — threaded host decode (native libjpeg) -> threaded uint8
-    host->device transfer (double-buffered) -> jitted forward, with
-    per-stage rates reported alongside so regressions in any stage are
-    visible.  D2H fetches are DEFERRED to the end of the stream
-    (tools/exp_poison_trigger.py: through the axon relay the first
-    device->host fetch permanently drops host->device puts from
-    ~1400 MB/s to ~26 MB/s; compile, dispatch, and block_until_ready
-    are all safe).  The pipeline therefore runs before any fetching
-    benchmark in this process, and all device inputs for the later
-    benchmarks are pre-staged while the link is still fast.
+    host->device transfer (double-buffered) -> jitted forward -> per-
+    batch feature fetch, with per-stage rates reported alongside so
+    regressions (and environment caps) are attributable per stage.
+
+Relay rules (tools/exp_poison_trigger.py, exp_poison_bisect2.py,
+exp_fetch_flush.py): through the axon tunnel, the FIRST device->host
+fetch of a process flips it into a post-fetch regime — H2D puts drop
+from ~1400 MB/s to ~30 MB/s for the rest of the process, the switch
+itself flushing ~proportionally to all bytes staged so far; before it,
+compile/dispatch/synced-puts are fast but execution is deferred and
+``block_until_ready`` on compute results is a no-op.  Hidden fetches
+count — e.g. an init arg created on the TPU default device then
+consumed by a cpu-backend jit (the bug that capped this bench's
+pipeline stage for a round).  Hence: init args are created inside the
+cpu context (init_on_cpu takes a thunk), weights stage through host
+numpy, every device input for every benchmark is pre-staged while the
+link is in its fast regime, and the pipeline bench enters the
+post-fetch regime exactly once, outside its timed loop.
 """
 
 import json
@@ -58,13 +67,25 @@ def median(xs):
     return sorted(xs)[len(xs) // 2]
 
 
-def init_on_cpu(init_fn, *args):
+def init_on_cpu(init_thunk):
     """Model init on the host CPU backend, then one bulk transfer: a
     jitted init compiles in seconds on CPU, vs ~10 min for the same
-    program through the remote-compile relay (and ~1 min eagerly)."""
+    program through the remote-compile relay (and ~1 min eagerly).
+
+    ``init_thunk`` takes no args and must CREATE its example inputs
+    itself — it runs entirely inside the cpu default-device context.
+    Args built at the call site would land on the TPU and the cpu jit
+    would pull them device->host, and through the axon relay the FIRST
+    D2H fetch of a process permanently collapses every later H2D put
+    ~1400 -> ~35 MB/s (bisected in tools/exp_poison_bisect2.py: the
+    numpy-ified same-tree put stays fast, the arg-on-TPU variant is
+    degraded before any weight even moves).  Staging then goes through
+    host numpy, synced — cheap host copies, one bulk fast-path put."""
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = jax.jit(init_fn)(*args)
-    return jax.device_put(variables, jax.devices()[0])
+        variables = jax.jit(init_thunk)()
+    variables = jax.tree.map(np.asarray, variables)
+    return jax.block_until_ready(
+        jax.device_put(variables, jax.devices()[0]))
 
 
 def make_extract(model):
@@ -77,10 +98,14 @@ def make_extract(model):
 
 
 def stage_input(batch, flat_dim):
-    # flat [B, H*W*3]: a 4D uint8 layout pads the 3-lane dim 42x on TPU
-    return jax.device_put(jnp.asarray(
+    # flat [B, H*W*3]: a 4D uint8 layout pads the 3-lane dim 42x on TPU.
+    # Synced put: see init_on_cpu — unsynced staging trickles ~50x slower
+    # and stalls every later transfer behind it.
+    d = jax.device_put(jnp.asarray(
         np.random.default_rng(0).integers(
             0, 256, (batch, flat_dim), dtype=np.uint8)))
+    d.block_until_ready()
+    return d
 
 
 def device_bench(extract_sum, variables, imgs, iters=ITERS, runs=RUNS):
@@ -96,10 +121,12 @@ def device_bench(extract_sum, variables, imgs, iters=ITERS, runs=RUNS):
 
 
 def family_setups():
-    """Build the other first-class encoder towers and pre-stage their
+    """Build the other first-class encoder towers and stage their
     weights + inputs on device (random-init weights — throughput doesn't
-    depend on weight values).  Building happens BEFORE the pipeline bench
-    so every device_put rides the fast pre-fetch link."""
+    depend on weight values).  Runs AFTER the pipeline bench: staging
+    ~1.2 GB in the post-fetch regime costs ~40 s, far less than what the
+    same bytes would add to the pipeline's one-time first-fetch flush
+    (which grows superlinearly with staged bytes)."""
     setups = []
 
     def add(key, build_fn, res):
@@ -122,18 +149,18 @@ def family_setups():
 
             cfg, _ = DINO_CONFIGS[name]
             model = DinoViT(cfg, dtype=jnp.bfloat16)
-            variables = init_on_cpu(
-                model.init, jax.random.key(0),
-                jnp.zeros((1, 224, 224, 3), jnp.float32))
+            variables = init_on_cpu(lambda: model.init(
+                jax.random.key(0),
+                jnp.zeros((1, 224, 224, 3), jnp.float32)))
             return model, variables, lambda m, x: m(x, from_uint8=True)
         return build
 
     def rn50():
         model = build_clip("RN50", dtype=jnp.bfloat16)
-        variables = init_on_cpu(
-            model.init, jax.random.key(0),
+        variables = init_on_cpu(lambda: model.init(
+            jax.random.key(0),
             jnp.zeros((1, 224, 224, 3), jnp.float32),
-            jnp.zeros((1, 77), jnp.int32))
+            jnp.zeros((1, 77), jnp.int32)))
         return model, variables, lambda m, x: m.encode_image_u8(
             x.reshape(x.shape[0], 224, 224, 3))
 
@@ -162,19 +189,21 @@ def family_bench(setups):
 
 
 def pipeline_bench(extract_sum, variables):
-    """Synthetic JPEGs -> threaded decode -> threaded transfer -> forward.
+    """Synthetic JPEGs -> threaded decode -> threaded transfer -> forward
+    -> per-batch feature fetch (exactly cli/features.py's hot loop).
 
-    The transfer runs on a dedicated thread (double-buffered: batch k+1
-    crosses the link while batch k computes); decode prefetch runs ahead
-    of both.  Per-stage rates are measured first so the composition's gap
-    to min(stages) is attributable.
-
-    No device->host VALUE fetch happens until the stream ends: through
-    the axon relay the first fetch permanently collapses the H2D link
-    ~50x (tools/exp_poison_trigger.py), while ``block_until_ready`` on
-    compute results is safe — so backpressure uses readiness waits and
-    the feature fetch is a single deferred drain, exactly how
-    cli/features.py's extraction loop streams a real dataset."""
+    The axon relay has two regimes (tools/exp_fetch_flush.py): before the
+    first D2H value fetch of a process, H2D puts run ~1.4 GB/s but
+    execution is deferred (block_until_ready on compute is a no-op) and
+    the first fetch pays a flush ~proportional to staged bytes; after it,
+    fetches are cheap (~30 ms) but every H2D put is capped ~30 MB/s for
+    the rest of the process.  A real extraction service fetches features
+    every batch, so its steady state is the POST-fetch regime — the
+    composed number reported here.  The per-stage rates (decode, regime-A
+    transfer, regime-B transfer, device forward) are reported alongside
+    as the measured proof of where this environment caps the
+    composition; on real TPU hosts (PCIe H2D, no mode-switching relay)
+    the same loop is decode- or device-bound instead."""
     from uml_tpu.data.loader import ImageBatchLoader
 
     try:
@@ -194,8 +223,9 @@ def pipeline_bench(extract_sum, variables):
     # cold dataset sweep (decode CPU cost dominates in this container)
     items = [{"impath": paths[i % len(paths)], "label": 0}
              for i in range(PIPELINE_IMAGES)]
+    batch_mb = PIPELINE_BATCH * 224 * 224 * 3 / 2**20
 
-    # stage rates
+    # stage rates: host decode, then regime-A (pre-fetch) transfer
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
                               prefetch=4)
     t0 = time.time()
@@ -203,45 +233,56 @@ def pipeline_bench(extract_sum, variables):
     decode_rate = PIPELINE_IMAGES / (time.time() - t0)
 
     def xfer(f):
-        # sync the transfer: an unsynced device_put through the axon relay
-        # defers the send into a ~10x slower use-triggered path (measured
-        # in tools/exp_pipeline_compose.py); syncing on the TRANSFER
-        # THREAD still overlaps the device's in-flight forwards
+        # synced put (unsynced ones trickle and queue later transfers
+        # behind them); syncing on the TRANSFER THREAD still overlaps
+        # the device's in-flight forwards
         d = jax.device_put(f)
         d.block_until_ready()
         return d
 
     t0 = time.time()
-    for f in host_batches:
-        xfer(f)
-    transfer_rate = PIPELINE_IMAGES / (time.time() - t0)
+    staged = [xfer(f) for f in host_batches]
+    transfer_a_rate = PIPELINE_IMAGES / (time.time() - t0)
 
-    # compile the forward WITHOUT a value fetch (a fetch here would poison
-    # the timed run's transfers); completion waits are safe
-    extract_sum(variables, xfer(host_batches[0])).block_until_ready()
+    # compile the forward (no fetch), then enter the post-fetch regime
+    # once, outside the timed loop — the flush is a fixed process-lifetime
+    # cost ~proportional to every byte staged so far, not a per-batch cost
+    out = extract_sum(variables, staged[0])
+    out.block_until_ready()
+    t0 = time.time()
+    float(out)
+    flush_s = time.time() - t0
+    t0 = time.time()
+    xfer(host_batches[0])
+    transfer_b_mbps = batch_mb / (time.time() - t0)
 
-    # full pipeline: decode prefetch -> transfer thread (lag 2) -> forward,
-    # readiness-wait backpressure, one deferred fetch at stream end
+    # steady-state composed pipeline: decode prefetch -> transfer thread
+    # (lag 2) -> forward -> fetch features one batch behind
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
                               prefetch=4)
     with ThreadPoolExecutor(max_workers=1) as pool:
         t0 = time.time()
         futs, outs = deque(), []
+        fetched = 0
         for imgs, _, _ in loader:
             futs.append(pool.submit(
                 xfer, imgs.reshape(imgs.shape[0], -1)))
             if len(futs) >= 2:
                 outs.append(extract_sum(variables, futs.popleft().result()))
-            if len(outs) >= 4:
-                outs[-4].block_until_ready()
+            if len(outs) >= 2:
+                float(outs[fetched])  # fetch-behind, like cli/features.py
+                fetched += 1
         while futs:
             outs.append(extract_sum(variables, futs.popleft().result()))
-        _ = [float(o) for o in outs]  # deferred drain (first D2H fetch)
+        for o in outs[fetched:]:
+            float(o)
         pipe_rate = PIPELINE_IMAGES / (time.time() - t0)
     return {
         "pipeline_img_per_s": round(pipe_rate, 1),
         "pipeline_host_decode_img_per_s": round(decode_rate, 1),
-        "pipeline_transfer_img_per_s": round(transfer_rate, 1),
+        "pipeline_transfer_img_per_s": round(transfer_a_rate, 1),
+        "pipeline_transfer_postfetch_MBps": round(transfer_b_mbps, 1),
+        "pipeline_first_fetch_flush_s": round(flush_s, 1),
     }
 
 
@@ -293,26 +334,25 @@ def main():
     # UML_ATTN lets perf experiments A/B attention layouts without edits
     model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
                        attn_impl=os.environ.get("UML_ATTN", "auto"))
-    variables = init_on_cpu(
-        model.init,
+    variables = init_on_cpu(lambda: model.init(
         jax.random.key(0),
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32),
-    )
+    ))
     extract_sum = make_extract(model)
     extract_pipe = make_extract(model)  # separate jit cache entry per shape
 
-    # pre-stage every device input while the H2D link is fast, and run the
-    # pipeline bench FIRST: the first D2H fetch in a process permanently
-    # collapses the relay's bulk-transfer path (tools/exp_poison_trigger.py)
+    # pre-stage the headline/train inputs while the H2D link is in its
+    # fast pre-fetch regime; the pipeline bench then performs the
+    # process's regime switch (one-time flush) inside its own untimed
+    # setup, and the family towers stage afterwards (see family_setups)
     headline_imgs = stage_input(BATCH, 224 * 224 * 3)
     train_u8 = stage_input(128, 224 * 224 * 3)
-    setups = [] if SKIP_FAMILIES else family_setups()
 
     pipe = pipeline_bench(extract_pipe, variables)
     img_per_s = device_bench(extract_sum, variables, headline_imgs)
     train_rate = train_bench(model, variables, train_u8)
-    families = {} if SKIP_FAMILIES else family_bench(setups)
+    families = {} if SKIP_FAMILIES else family_bench(family_setups())
 
     record = {
         "metric": "clip_vitb16_feature_extraction_throughput",
@@ -326,8 +366,11 @@ def main():
     if pipe is not None:
         record.update(pipe)
         record["pipeline_note"] = (
-            "jpeg decode->transfer->forward, decode+transfer on threads, "
-            "deferred-fetch streaming; env-bound by 1-CPU host decode")
+            "jpeg decode->transfer->forward->fetch streaming "
+            "(cli/features.py's hot loop); steady state sits in the "
+            "relay's post-fetch regime, H2D capped ~30 MB/s by the "
+            "tunnel — see pipeline_transfer_postfetch_MBps vs the "
+            "pre-fetch pipeline_transfer_img_per_s for the env cap proof")
     print(json.dumps(record))
 
 

@@ -334,7 +334,12 @@ class _HFEncoderAdapter:
 
             model, variables = load_dino(
                 vision_model, allow_random_init=allow_random_init)
-            self._variables = variables
+            from uml_tpu.core.meshes import staged_put
+
+            # synced weight staging (see core.meshes.staged_put): a lazy
+            # first-dispatch transfer of the ported tree rides the relay's
+            # slow deferred path and stalls the first batches behind it
+            self._variables = staged_put(variables)
 
             # flat uint8 transfer + normalization folded into the patch
             # matmul (a 4D uint8 batch pads the 3-lane dim 42x on TPU)

@@ -50,9 +50,43 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def staged_put(tree, placement=None):
+    """One-time weight staging: host-routed device_put + block_until_ready.
+
+    Two relay (axon TPU tunnel) hazards, both measured in
+    tools/exp_bench_poison.py / tools/exp_poison_bisect2.py:
+
+    * an UNSYNCED bulk put defers the send onto a ~50x slower trickle
+      path and every later H2D transfer queues behind it (19 MB probe:
+      3.3 MB/s behind an unsynced weight-tree put, 1258 MB/s fresh);
+      blocking right after the put keeps staging on the fast bulk path.
+    * a DIRECT cross-backend put of a cpu-backend jit-output tree
+      permanently wedges the fast path (~1400 -> ~35 MB/s for the rest
+      of the process), plausibly via the CPU compiler's non-default
+      array layouts; the same tree routed through host numpy stays fast.
+
+    So: cpu-backend jax leaves are converted to host numpy first when
+    the target is a different platform (a cheap host copy), then the
+    whole tree is put and synced.  One-time cost at model build."""
+    if placement is None:
+        placement = jax.devices()[0]
+    tgt = getattr(placement, "platform", None)
+    if tgt is None:  # a Sharding
+        tgt = next(iter(placement.device_set)).platform
+
+    def host_route(x):
+        if (tgt != "cpu" and isinstance(x, jax.Array)
+                and all(d.platform == "cpu" for d in x.devices())):
+            return np.asarray(x)
+        return x
+
+    tree = jax.tree.map(host_route, tree)
+    return jax.block_until_ready(jax.tree.map(
+        lambda x: jax.device_put(x, placement), tree))
+
+
 def replicate(mesh: Mesh, tree):
-    sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return staged_put(tree, replicated_sharding(mesh))
 
 
 def maybe_shard_batch(mesh: Mesh | None, tree):

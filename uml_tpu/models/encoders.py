@@ -71,10 +71,16 @@ class ClipEncoder:
         self.embed_dim = self.model.config.embed_dim
         self._dtype = dtype
         self.mesh = mesh
-        if mesh is not None:
-            from uml_tpu.core.meshes import replicate
+        from uml_tpu.core.meshes import replicate, staged_put
 
+        if mesh is not None:
             self.variables = replicate(mesh, self.variables)
+        else:
+            # explicit synced staging: a ported weight tree left as host
+            # numpy would transfer lazily at the first dispatch, riding
+            # the relay's slow deferred path and stalling the first
+            # batches' input transfers behind it (staged_put docstring)
+            self.variables = staged_put(self.variables)
 
         model = self.model
 

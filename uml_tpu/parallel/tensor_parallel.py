@@ -63,8 +63,11 @@ def infer_sharding_tree(params, rules=None):
 
 
 def apply_tp_sharding(params, mesh: Mesh, rules=None):
-    """device_put a parameter tree with tensor-parallel shardings."""
+    """device_put a parameter tree with tensor-parallel shardings.
+
+    Synced: an unsynced bulk weight put through a transfer relay trickles
+    ~50x slower and stalls later H2D transfers (core.meshes.staged_put)."""
     specs = infer_sharding_tree(params, rules)
-    return jax.tree.map(
+    return jax.block_until_ready(jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
-    )
+    ))
