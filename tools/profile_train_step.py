@@ -37,11 +37,14 @@ def main():
     import bench
 
     model = bench.build_clip("ViT-B/16", dtype=jnp.bfloat16)
+    print("init...", flush=True)
     variables = bench.init_on_cpu(lambda: model.init(
         jax.random.key(0),
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32)))
+    print("stage...", flush=True)
     u8 = bench.stage_input(128, 224 * 224 * 3)
+    print("staged", flush=True)
     b = 128
 
     import optax
@@ -80,6 +83,7 @@ def main():
 
     _, g0 = jax.block_until_ready(grad(params, u8, labels))
     p1, o1 = jax.block_until_ready(opt_step(g0, opt, params))
+    opt = tx.init(params)  # the donated tree above is gone; fresh state
 
     def opt_only():
         nonlocal o1
@@ -130,35 +134,37 @@ def main():
     args = jax.block_until_ready(jax.device_put(args))
     x, qkv_w, qkv_b, wo, bo, w1, b1, w2, b2, sc, bi = args
 
+    attn_w = (sc, bi, qkv_w, qkv_b, wo, bo)
+    mlp_w = (sc, bi, w1, b1, w2, b2)
+
     @jax.jit
-    def attn12(x):
+    def attn12(x, w):
         for _ in range(12):
-            x = ln_attn_block(x, sc, bi, qkv_w, qkv_b, wo, bo,
-                              heads=heads, causal=False)
+            x = ln_attn_block(x, *w, heads=heads, causal=False)
         return x
 
     @jax.jit
-    def mlp12(x):
+    def mlp12(x, w):
         for _ in range(12):
-            x = ln_mlp_block(x, sc, bi, w1, b1, w2, b2,
-                             activation="quick_gelu")
+            x = ln_mlp_block(x, *w, activation="quick_gelu")
         return x
 
-    timeit("12x attn half fwd (bs128)", attn12, x)
-    timeit("12x mlp half fwd (bs128)", mlp12, x)
+    timeit("12x attn half fwd (bs128)", attn12, x, attn_w)
+    timeit("12x mlp half fwd (bs128)", mlp12, x, mlp_w)
 
+    # vjp over x AND the weights — the real step pays the dW matmuls too
     @jax.jit
-    def attn12_vjp(x):
-        y, vjp = jax.vjp(attn12, x)
+    def attn12_vjp(x, w):
+        y, vjp = jax.vjp(attn12, x, w)
         return vjp(y)[0]
 
     @jax.jit
-    def mlp12_vjp(x):
-        y, vjp = jax.vjp(mlp12, x)
+    def mlp12_vjp(x, w):
+        y, vjp = jax.vjp(mlp12, x, w)
         return vjp(y)[0]
 
-    timeit("12x attn half fwd+bwd (bs128)", attn12_vjp, x)
-    timeit("12x mlp half fwd+bwd (bs128)", mlp12_vjp, x)
+    timeit("12x attn half fwd+bwd (bs128)", attn12_vjp, x, attn_w)
+    timeit("12x mlp half fwd+bwd (bs128)", mlp12_vjp, x, mlp_w)
     print("done", flush=True)
 
 

@@ -120,6 +120,28 @@ def main():
           f"{B / fl_full * 1e3:.0f} img/s", flush=True)
     print(f"real FLOPs/img: {gf_total / B * 1e3:.1f} MF x {B}", flush=True)
 
+    # --- train-step roofline at the bench's bs128 shape ---------------
+    # backward MXU work per FULL layer (2 flops/MAC), hand-counted from
+    # ops/fused_attention._block_bwd_kernel + the XLA weight-grad dots +
+    # ops/ln_matmul's 5-matmul backward:
+    #   attn: qkv recompute + dattn + 6 pair-dot units + dxn (kernel)
+    #         + dW_eff + dwo (XLA)                 = 1636M MAC/img
+    #   mlp:  5 matmul units x 465M (recompute + dW2/dh/dW1/dxn)
+    #                                              = 2325M MAC/img
+    bt = 128
+    gf_fwd = gf_total / B * bt
+    gf_attn_bwd = 2 * 1.636 * bt   # per-image GF x batch
+    gf_mlp_bwd = 2 * 2.325 * bt
+    gf_cls_bwd = 2 * 1.4 * bt      # qkv recompute + K/V grads, approx
+    gf_patch_bwd = 2 * 0.23 * bt   # dW only (input needs no grad)
+    gf_step = (gf_fwd + 11 * (gf_attn_bwd + gf_mlp_bwd)
+               + gf_mlp_bwd + gf_cls_bwd + gf_patch_bwd)
+    u8t = bench.stage_input(bt, 224 * 224 * 3)
+    rate = bench.train_bench(model, variables, u8t)
+    row(f"train step bs{bt} (fwd+bwd+adamw)", bt / rate * 1e3, gf_step)
+    print(f"train throughput: {rate:.1f} img/s   speed-of-light: "
+          f"{bt / (gf_step / PEAK_TFS) * 1e3:.0f} img/s", flush=True)
+
 
 if __name__ == "__main__":
     main()
