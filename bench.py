@@ -68,6 +68,11 @@ ITERS = 10
 RUNS = 3
 PIPELINE_BATCH = 512
 PIPELINE_IMAGES = 2048
+# extraction-service batch for the family lines: composition efficiency
+# scales with per-dispatch work (B/16 at bs2048 composes to 92% of
+# roofline; the same kernels at bs512-equivalent work run ~75%), so the
+# families bench at the headline's batch too
+FAMILY_BATCH = int(os.environ.get("UML_FAMILY_BATCH", 2048))
 SKIP_FAMILIES = os.environ.get("UML_BENCH_FAST") == "1"
 
 
@@ -146,7 +151,8 @@ def family_setups():
                 return model.apply(v, u8, method=method).sum()
 
             setups.append(
-                (key, extract, variables, stage_input(512, res * res * 3)))
+                (key, extract, variables,
+                 stage_input(FAMILY_BATCH, res * res * 3)))
         except Exception as e:  # one family must not kill the headline
             setups.append((key, None, None,
                            f"error: {type(e).__name__}: {e}"[:120]))
