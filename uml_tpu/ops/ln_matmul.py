@@ -162,7 +162,7 @@ def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
 
 
 def _act_grad(pre, activation):
-    """d act(pre) / d pre in fp32 (kernel-safe: polynomial erf)."""
+    """d act(pre) / d pre in fp32 (kernel-safe: rational erf)."""
     if activation is None:
         return jnp.ones_like(pre)
     if activation == "quick_gelu":
@@ -406,19 +406,42 @@ def _gelu_exact_f32(x):
 
 
 def _erf_poly(x):
-    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7): Mosaic has
-    no erf lowering, and 1.5e-7 is far below the bf16 activations the
-    kernels carry."""
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + 0.3275911 * ax)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-                + t * (-1.453152027 + t * 1.061405429))))
-    y = 1.0 - poly * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
+    """erf as an odd (4,3) rational in x^2 (max abs err 3.5e-6): Mosaic
+    has no erf lowering, and 3.5e-6 is far below the bf16 activations the
+    kernels carry.  FMA polynomials + one divide, and crucially NO
+    exp/abs/sign: the previous A&S 7.1.26 form cost a measured 6.5% of
+    the whole composed DINOv2-B/14 forward (3134 -> 3338 img/s with a
+    quick_gelu-cost epilogue; identity epilogue 3354 — the VPU
+    transcendental chain does not hide under the S=257 MXU dots,
+    tools/exp_dino_act.py).  Oddness makes sign handling free; the clip
+    to |x| <= 4 makes the tails exact to 1.6e-8 (erf(4) = 1 - 1.6e-8)."""
+    xc = jnp.clip(x, -4.0, 4.0)
+    z = xc * xc
+    num = ((((-4.9571187842836585e-06 * z + 1.1210895988527634e-03) * z
+             + 4.781261600463291e-02) * z + 1.6182750471331497e-01) * z
+           + 1.1284049804404754e+00)
+    den = (((1.1341809282754814e-02 * z + 1.008262676215077e-01) * z
+            + 4.7695627529928103e-01) * z + 1.0)
+    return xc * num / den
 
 
 def _gelu_exact_kernel(x):
-    return x * 0.5 * (1.0 + _erf_poly(x * (2.0 ** -0.5)))
+    """Exact-GELU epilogue in quick_gelu's op shape: x * sigmoid(q(x))
+    with q an odd quintic fitted to make the sigmoid form match the
+    erf-based GELU (max abs err 7.8e-5 — 6x under the kernel tests'
+    5e-4 and ~50x under bf16 resolution at |x|~1).  Measured on the
+    composed DINOv2-B/14 forward (tools/exp_dino_act.py): the A&S
+    erf epilogue cost 6.5% of the whole forward, the (4,3) rational
+    erf 3.2%, quick_gelu's x*sigmoid(kx) shape 0.4% — so exact GELU is
+    computed in that shape.  q's quintic coefficient is negative, so x
+    is clamped to the fit domain [-12, 12] before q (sigmoid(q(12)) =
+    1 - 5e-13 at the ±11 clamp used, so beyond it GELU(x) = x exactly
+    to fp32)."""
+    xc = jnp.clip(x, -11.0, 11.0)
+    z = xc * xc
+    q = xc * (1.5965369886364993
+              + z * (0.07282312497589535 + z * -0.0005347207905680217))
+    return x * (1.0 / (1.0 + jnp.exp(-q)))
 
 
 # reference (jnp) table: XLA-exact erf
