@@ -56,12 +56,13 @@ from uml_tpu.models.clip import build_clip
 
 BASELINE_IMG_PER_S = 5000.0
 # Measured roofline (tools/roofline_clip.py on the v5e chip): the
-# extraction forward executes 36.105 GF/img of real MXU work (2 flops/MAC,
-# incl. the head-pair score packing and the CLS-only final block) against
-# the chip's 197 TF/s bf16 peak — speed of light 5456 img/s; the r3
-# headline measures 91-92% of it.  These two constants turn the headline
-# into a physics statement in the output record.
-EXTRACTION_GFLOP_PER_IMG = 36.105
+# extraction forward executes 34.094 GF/img of real MXU work (2 flops/MAC,
+# incl. the head-pair score packing; the CLS-only final block counted as
+# the kernels execute it — K/V for all rows but Q/scores/out-proj/MLP for
+# 8 rows) against the chip's 197 TF/s bf16 peak — speed of light 5778
+# img/s; the r3 headline measures ~87% of it.  These two constants turn
+# the headline into a physics statement in the output record.
+EXTRACTION_GFLOP_PER_IMG = 34.094
 PEAK_TFLOPS = 197.0
 BATCH = int(os.environ.get("UML_BENCH_BATCH", 2048))
 ITERS = 10
@@ -69,9 +70,9 @@ RUNS = 3
 PIPELINE_BATCH = 512
 PIPELINE_IMAGES = 2048
 # extraction-service batch for the family lines: composition efficiency
-# scales with per-dispatch work (B/16 at bs2048 composes to 92% of
-# roofline; the same kernels at bs512-equivalent work run ~75%), so the
-# families bench at the headline's batch too
+# scales with per-dispatch work (B/16 at bs2048 composes to ~87% of
+# roofline; the same kernels at bs512-equivalent work lose a further
+# ~15-20% to fill/drain), so the families bench at the headline's batch
 FAMILY_BATCH = int(os.environ.get("UML_FAMILY_BATCH", 2048))
 SKIP_FAMILIES = os.environ.get("UML_BENCH_FAST") == "1"
 
@@ -386,9 +387,9 @@ def main():
         "roofline_fraction": round(img_per_s / speed_of_light, 3),
         "speed_of_light_img_per_s": round(speed_of_light, 0),
         "roofline_note": (
-            "measured 36.105 GF/img real MXU work vs 197 TF/s bf16 peak "
-            "(tools/roofline_clip.py); 100% roofline = 5456 img/s on one "
-            "v5e chip, so the headline runs within ~9% of the hardware's "
+            "measured 34.094 GF/img real MXU work vs 197 TF/s bf16 peak "
+            "(tools/roofline_clip.py); 100% roofline = 5778 img/s on one "
+            "v5e chip, so the headline runs within ~13% of the hardware's "
             "physical limit for this model"),
         "train_full_finetune_img_per_s": round(train_rate, 1),
         **families,

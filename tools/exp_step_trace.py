@@ -1,6 +1,6 @@
 """jax.profiler trace of the composed full-finetune step at bs128 —
 per-op device times to locate the gap between the measured 120 ms step
-and its ~86 ms FLOP floor (extraction composes to 91% of roofline; the
+and its ~81 ms FLOP floor (extraction composes to ~87% of roofline; the
 step composes to ~71%, so ~25 ms is schedule/shape loss somewhere).
 
 Usage: timeout 2400 python tools/exp_step_trace.py

@@ -5,7 +5,7 @@ prints exact-FLOP floors against the chip's bf16 peak, so the headline
 number's distance to speed-of-light is a measured statement, not a
 convention.  (Published "17.6 GFLOPs" for ViT-B/16 counts multiply-adds
 as one op; the MXU peak of 197 TF/s counts them as two.  The same
-convention must be used on both sides: real FLOPs are ~35 GF/img.)
+convention must be used on both sides: real FLOPs are ~34 GF/img.)
 
 Usage: timeout 1500 python tools/roofline_clip.py
 """
@@ -96,9 +96,17 @@ def main():
     gf_out = 2 * B * S * K * K / 1e9
     gf_attn = gf_qkv + gf_sc + gf_av + gf_out
     gf_mlp = 2 * 2 * B * S * K * M / 1e9
-    # CLS-only final block: q is 8 rows
-    gf_cls = (2 * B * S * K * 3 * K + 2 * 2 * B * H * 8 * S * 64 * 2
-              + 2 * B * 8 * K * K) / 1e9
+    # CLS-only final block, counted as the kernel actually computes it
+    # (ops/fused_attention._block_cls_kernel): K/V for all S rows but Q
+    # for only CLS_ROWS=8, 8-row scores+AV, 8-row out-projection.  (An
+    # earlier revision counted a full 3K QKV here and a full final MLP
+    # below — overstating real work ~2.0 GF/img and flattering the
+    # roofline fraction 92% -> the honest ~87%.)
+    gf_cls = (2 * B * S * K * 2 * K        # K,V for all S rows
+              + 2 * B * 8 * K * K          # Q for 8 rows
+              + 2 * 2 * B * H * 8 * S * 64  # 8-row scores + A@V
+              + 2 * B * 8 * K * K) / 1e9   # 8-row out-proj
+    gf_mlp_cls = 2 * 2 * B * 8 * K * M / 1e9  # final MLP runs on 8 rows
 
     ms_attn, fl_attn = row("attn half-block (1 layer)",
                            timeit(attn1, x), gf_attn)
@@ -109,9 +117,11 @@ def main():
     ext = bench.make_extract(model)
     full = timeit(lambda u: ext(variables, u), u8)
 
-    layers = 11 * (ms_attn + ms_mlp) + ms_cls + ms_mlp
+    # layer 12's 8-row MLP is below isolated-timing noise; the phase sum
+    # carries its GF but no timing term
+    layers = 11 * (ms_attn + ms_mlp) + ms_cls
     gf_patch = 2 * B * (S - 1) * (PATCH * PATCH * 3) * K / 1e9
-    gf_total = 11 * (gf_attn + gf_mlp) + gf_cls + gf_mlp + gf_patch
+    gf_total = 11 * (gf_attn + gf_mlp) + gf_cls + gf_mlp_cls + gf_patch
     print("-" * 76)
     row("sum of kernel phases (11+CLS)", layers, gf_total - gf_patch)
     ms_full, fl_full = row("FULL extraction forward", full, gf_total)
@@ -134,8 +144,9 @@ def main():
     gf_mlp_bwd = 2 * 2.325 * bt
     gf_cls_bwd = 2 * 1.4 * bt      # qkv recompute + K/V grads, approx
     gf_patch_bwd = 2 * 0.23 * bt   # dW only (input needs no grad)
+    # layer 12 trains through the CLS path: its MLP fwd+bwd are 8-row
     gf_step = (gf_fwd + 11 * (gf_attn_bwd + gf_mlp_bwd)
-               + gf_mlp_bwd + gf_cls_bwd + gf_patch_bwd)
+               + gf_mlp_bwd * 8 / S + gf_cls_bwd + gf_patch_bwd)
     u8t = bench.stage_input(bt, 224 * 224 * 3)
     rate = bench.train_bench(model, variables, u8t)
     row(f"train step bs{bt} (fwd+bwd+adamw)", bt / rate * 1e3, gf_step)
