@@ -13,10 +13,11 @@ Primary metric (``value``): device-resident uint8 batch -> ViT-B/16 forward
 (bf16, CLIP normalization folded into the patch embedding) under jit.
 
 Extras:
-  * per-encoder-family extraction lines (DINOv2 ViT-B/14 and ViT-L/14,
-    DINO ViT-B/8, CLIP RN50 — the reference's other first-class encoder
-    choices, engine/config/__init__.py:76-89) so their throughput is
-    measured every round, not assumed
+  * per-encoder-family extraction lines (CLIP ViT-L/14, DINOv2 ViT-B/14
+    and ViT-L/14, DINO ViT-B/8, CLIP RN50 — the reference's other
+    first-class encoder choices, engine/config/__init__.py:76-89) so
+    their throughput is measured every round, not assumed; analytic
+    speed-of-light per family via tools/roofline_families.py
   * ``train_full_finetune_img_per_s``: full-model finetune step at bs128
     (fwd+bwd+adamw through the tower, finetune.py:120-288 semantics)
   * ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
@@ -179,6 +180,15 @@ def family_setups():
         return model, variables, lambda m, x: m.encode_image_u8(
             x.reshape(x.shape[0], 224, 224, 3))
 
+    def vitl14():
+        model = build_clip("ViT-L/14", dtype=jnp.bfloat16)
+        variables = init_on_cpu(lambda: model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+            jnp.zeros((1, 77), jnp.int32)))
+        return model, variables, lambda m, x: m.encode_image_u8(x)
+
+    add("extract_clip_vitl14_img_per_s", vitl14, 224)
     add("extract_dinov2_vitb14_img_per_s",
         dino("vit_base_patch14_dinov2.lvd142m"), 224)
     add("extract_dinov2_vitl14_img_per_s",

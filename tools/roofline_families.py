@@ -1,0 +1,122 @@
+"""Analytic speed-of-light for every first-class encoder family, plus a
+measured composed-forward fraction — so the per-family roofline numbers
+quoted in COVERAGE.md are reproducible, not hand math.
+
+FLOP accounting matches tools/roofline_clip.py exactly (2 flops/MAC, the
+convention of the chip's 197 TF/s bf16 peak):
+  * head-pair score packing doubles the scores+A@V term (the cost of
+    d=64 heads on a 128-lane MXU — an unpacked layout pads the
+    contraction 64->128 at the same cost);
+  * the CLS-only final block is counted as the kernels execute it
+    (ops/fused_attention._block_cls_kernel): K/V for all S rows,
+    Q/scores/out-projection for CLS_ROWS=8 rows, and the final MLP on
+    those 8 rows;
+  * Mosaic's lane/sublane padding (e.g. scores S=257 -> 384 lanes) is
+    NOT counted as algorithm cost — it is part of the composition gap
+    the measured fraction reports.
+
+The ViT-B/16 row is a cross-check: its GF/img must equal bench.py's
+EXTRACTION_GFLOP_PER_IMG (34.094) and roofline_clip.py's total.
+RN50 has no analytic row (conv profile; measured-only in bench.py).
+
+Usage: timeout 1500 python tools/roofline_families.py
+       UML_ROOFLINE_MEASURE=0 for the analytic table only (no TPU).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_TFS = 197.0
+CLS_ROWS = 8
+
+
+def vit_gflop_per_img(k, heads, layers, s, mlp, patch, in_ch=3):
+    """Real MXU GF per image for a CLS-pooled ViT forward on our kernels."""
+    qkv = 2 * s * k * 3 * k
+    sc_av = 2 * (2 * 2 * heads * s * s * 64)      # pair-packed (2x), sc+av
+    out = 2 * s * k * k
+    full_layer = qkv + sc_av + out + 2 * 2 * s * k * mlp
+    cls_attn = (2 * s * k * 2 * k                 # K,V for all S rows
+                + 2 * CLS_ROWS * k * k            # Q for 8 rows
+                + 2 * 2 * heads * CLS_ROWS * s * 64   # 8-row scores + A@V
+                + 2 * CLS_ROWS * k * k)           # 8-row out-proj
+    cls_mlp = 2 * 2 * CLS_ROWS * k * mlp
+    embed = 2 * (s - 1) * (patch * patch * in_ch) * k
+    return ((layers - 1) * full_layer + cls_attn + cls_mlp + embed) / 1e9
+
+
+def families():
+    from uml_tpu.models.clip import CLIP_CONFIGS
+    from uml_tpu.models.dino import DINO_CONFIGS
+
+    rows = []
+    for name in ("ViT-B/16", "ViT-L/14"):
+        c = CLIP_CONFIGS[name]
+        s = c.grid_size ** 2 + 1
+        rows.append((f"CLIP {name}", dict(
+            k=c.vision_width, heads=c.vision_heads,
+            layers=c.vision_layers, s=s, mlp=4 * c.vision_width,
+            patch=c.vision_patch_size), ("clip", name)))
+    for name in ("vit_base_patch14_dinov2.lvd142m",
+                 "vit_large_patch14_dinov2.lvd142m",
+                 "vit_base_patch8_224_dino"):
+        cfg, _ = DINO_CONFIGS[name]
+        s = cfg.grid_size ** 2 + 1
+        rows.append((name, dict(
+            k=cfg.hidden_size, heads=cfg.num_heads, layers=cfg.num_layers,
+            s=s, mlp=cfg.mlp_ratio * cfg.hidden_size,
+            patch=cfg.patch_size), ("dino", name)))
+    return rows
+
+
+def measure(kind, name, batch):
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    if kind == "clip":
+        model = bench.build_clip(name, dtype=jnp.bfloat16)
+        variables = bench.init_on_cpu(lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+            jnp.zeros((1, 77), jnp.int32)))
+        extract = bench.make_extract(model)
+    else:
+        from uml_tpu.models.dino import DINO_CONFIGS, DinoViT
+
+        cfg, _ = DINO_CONFIGS[name]
+        model = DinoViT(cfg, dtype=jnp.bfloat16)
+        variables = bench.init_on_cpu(lambda: model.init(
+            jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32)))
+
+        @jax.jit
+        def extract(v, u8):
+            return model.apply(v, u8,
+                               method=lambda m, x: m(x, from_uint8=True)).sum()
+
+    imgs = bench.stage_input(batch, 224 * 224 * 3)
+    return bench.device_bench(extract, variables, imgs, iters=5)
+
+
+def main():
+    do_measure = os.environ.get("UML_ROOFLINE_MEASURE", "1") != "0"
+    batch = int(os.environ.get("UML_ROOFLINE_BATCH", 2048))
+    print(f"{'family':38s} {'GF/img':>8s} {'SOL img/s':>10s} "
+          f"{'measured':>9s} {'fraction':>9s}", flush=True)
+    for label, shape, (kind, name) in families():
+        gf = vit_gflop_per_img(**shape)
+        sol = PEAK_TFS * 1e3 / gf
+        if do_measure:
+            rate = measure(kind, name, batch)
+            frac = f"{rate / sol:8.1%}"
+            meas = f"{rate:9.1f}"
+        else:
+            meas, frac = "-".rjust(9), "-".rjust(9)
+        print(f"{label:38s} {gf:8.3f} {sol:10.1f} {meas} {frac}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
