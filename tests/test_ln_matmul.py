@@ -186,3 +186,23 @@ def test_mlp_bwd_kernel_matches_reference_vjp(activation):
         scale_ref = np.abs(ref).max() + 1e-9
         np.testing.assert_allclose(got[name] / scale_ref, ref / scale_ref,
                                    atol=tol, rtol=tol, err_msg=name)
+
+
+def test_kernel_gelu_exact_accuracy():
+    """The in-kernel exact-GELU (x*sigmoid(odd quintic), clamped +-11)
+    must track the XLA-erf GELU to well under the kernel tests' 5e-4 —
+    guards the fitted coefficients and the clamp against edits.  Also
+    checks the act-grad's rational erf."""
+    from uml_tpu.ops.ln_matmul import (_ACTIVATIONS, _KERNEL_ACTIVATIONS,
+                                       _act_grad)
+
+    x = jnp.asarray(np.linspace(-40, 40, 400001), jnp.float32)
+    got = _KERNEL_ACTIVATIONS["gelu_exact"](x)
+    want = _ACTIVATIONS["gelu_exact"](x)
+    assert float(jnp.abs(got - want).max()) < 1e-4
+    # tails are exact: GELU(x) = x for x >> 0, 0 for x << 0
+    np.testing.assert_allclose(
+        np.asarray(_KERNEL_ACTIVATIONS["gelu_exact"](x[-1:])),
+        np.asarray(x[-1:]), rtol=1e-6)
+    grad_ref = jax.vmap(jax.grad(_ACTIVATIONS["gelu_exact"]))(x)
+    assert float(jnp.abs(_act_grad(x, "gelu_exact") - grad_ref).max()) < 1e-4

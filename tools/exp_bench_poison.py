@@ -55,14 +55,17 @@ def main():
     train_u8 = bench.stage_input(128, 224 * 224 * 3)
     t_put("A3 post stage_input(128)")
 
-    setups = bench.family_setups()
-    for key, _, _, maybe_err in [(s[0], None, None, s[3]) for s in setups]:
-        if isinstance(maybe_err, str):
-            print(f"   family {key}: {maybe_err}")
-    t_put("A4 post family_setups")
-    t_put("A4 post family_setups (rep)")
+    # stage the family towers' weights in-process (what family_setups
+    # did before the family lines moved to their own subprocesses)
+    staged = []
+    for key, build in bench.FAMILY_BUILDERS.items():
+        _, variables, _ = build()
+        staged.append(variables)
+        staged.append(bench.stage_input(bench.FAMILY_BATCH, 224 * 224 * 3))
+    t_put("A4 post family staging")
+    t_put("A4 post family staging (rep)")
 
-    del imgs, train_u8, setups
+    del imgs, train_u8, staged
     print("done", flush=True)
 
 
