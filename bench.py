@@ -251,7 +251,8 @@ def family_bench():
             if r.returncode == 0 and r.stdout.strip():
                 out[key] = float(r.stdout.strip().splitlines()[-1])
             else:
-                tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+                lines = (r.stderr or r.stdout).strip().splitlines()
+                tail = lines[-1] if lines else ""
                 out[key] = f"error: rc={r.returncode} {tail}"[:120]
         except subprocess.TimeoutExpired:
             out[key] = "error: timeout (relay compile stall)"
