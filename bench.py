@@ -18,6 +18,10 @@ Extras:
     first-class encoder choices, engine/config/__init__.py:76-89) so
     their throughput is measured every round, not assumed; analytic
     speed-of-light per family via tools/roofline_families.py
+  * ``extract_int8_vitb16_img_per_s``: the W8A8 serving mode (--quant
+    int8, ops.quant) — int8 MXU dots run at 394 TOPS on v5e (2x bf16),
+    so this line's physics ceiling is ~2x the bf16 roofline; feature
+    fidelity vs bf16 is cosine >0.999 (tests/test_quant.py)
   * ``train_full_finetune_img_per_s``: full-model finetune step at bs128
     (fwd+bwd+adamw through the tower, finetune.py:120-288 semantics)
   * ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
@@ -171,7 +175,23 @@ def _clip_builder(name, reshape=False):
     return build
 
 
+def _clip_q8_builder(name):
+    def build():
+        model = build_clip(name, dtype=jnp.bfloat16, quant="int8")
+        variables = init_on_cpu(lambda: model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+            jnp.zeros((1, 77), jnp.int32)))
+        return model, variables, lambda m, x: m.encode_image_u8(x)
+    return build
+
+
 FAMILY_BUILDERS = {
+    # W8A8 serving mode (ops.quant): int8 MXU dots at 394 TOPS vs 197
+    # TFLOPs bf16 on v5e — the physics ceiling past the bf16 roofline
+    # the headline already saturates (~87% of 5778 img/s).  Feature
+    # fidelity vs bf16 is cosine >0.999 (tests/test_quant.py).
+    "extract_int8_vitb16_img_per_s": _clip_q8_builder("ViT-B/16"),
     "extract_clip_vitl14_img_per_s": _clip_builder("ViT-L/14"),
     "extract_dinov2_vitb14_img_per_s":
         _dino_builder("vit_base_patch14_dinov2.lvd142m"),

@@ -309,7 +309,8 @@ class _HFEncoderAdapter:
     """
 
     def __init__(self, vision_model: str = "", language_model: str = "",
-                 allow_random_init: bool = False, mesh=None):
+                 allow_random_init: bool = False, mesh=None,
+                 quant: str = "none"):
         import jax
         import jax.numpy as jnp
 
@@ -333,7 +334,8 @@ class _HFEncoderAdapter:
             from uml_tpu.models.dino import load_dino
 
             model, variables = load_dino(
-                vision_model, allow_random_init=allow_random_init)
+                vision_model, allow_random_init=allow_random_init,
+                quant=quant)
             from uml_tpu.core.meshes import staged_put
 
             # synced weight staging (see core.meshes.staged_put): a lazy
@@ -415,13 +417,15 @@ def main(args):
         from uml_tpu.models.encoders import ClipEncoder
 
         encoder = ClipEncoder(args.clip_encoder, mesh=mesh,
-                              allow_random_init=args.allow_random_init)
+                              allow_random_init=args.allow_random_init,
+                              quant=getattr(args, "quant", "none"))
     else:
         print(f"=> Using {args.vision_model} for vision and "
               f"{args.language_model} for language")
         encoder = _HFEncoderAdapter(args.vision_model, args.language_model,
                                     allow_random_init=args.allow_random_init,
-                                    mesh=mesh)
+                                    mesh=mesh,
+                                    quant=getattr(args, "quant", "none"))
 
     if args.dataset not in IMAGENET_TESTSETS:
         # stream BOTH image passes before the first fetch (see

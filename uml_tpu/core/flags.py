@@ -115,6 +115,13 @@ def build_shared_parser() -> argparse.ArgumentParser:
                    dest="allow_random_init",
                    help="run encoders from random init when no pretrained "
                         "weights are available (testing only)")
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="'int8': W8A8 serving mode for CLIP ViT/text "
+                        "feature extraction (ops.quant) — int8 MXU dots "
+                        "run at 2x the bf16 rate on v5e; per-row dynamic "
+                        "activation scales, no calibration pass. "
+                        "Extraction-only (training always runs bf16)")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="orbax mid-run checkpoint interval in iterations "
                         "(0 = off); restarted runs resume from the latest "

@@ -155,6 +155,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     ln_matmul_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, causal: bool = False, cls_only: bool = False):
@@ -164,6 +165,35 @@ class ResidualAttentionBlock(nn.Module):
         b, s, _ = x.shape
         h = self.heads
         d = self.width // h
+
+        if self.quant == "int8" and not cls_only:
+            # W8A8 serving path (ops.quant): int8 MXU dots for the four
+            # projection matmuls, per-row dynamic activation scales,
+            # attention math identical to the bf16 kernels.  The final
+            # cls_only block stays bf16 (it is ~1/layers of the work and
+            # feeds the fp32 ln_post/proj epilogue directly).
+            from uml_tpu.ops.quant import ln_attn_block_q8, ln_mlp_block_q8
+
+            ln1_scale, ln1_bias = FP32LayerNorm(name="ln_1")(
+                x, return_params=True)
+            qkv_kernel, qkv_bias = _DenseKernelBias(
+                self.width, 3 * self.width, name="qkv")()
+            out_kernel, out_bias = _DenseKernelBias(
+                self.width, self.width, name="out_proj")()
+            x = ln_attn_block_q8(
+                x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
+                out_kernel.astype(self.dtype), out_bias, heads=h,
+                causal=causal)
+            ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
+                x, return_params=True)
+            fc_kernel, fc_bias = _DenseKernelBias(
+                self.width, 4 * self.width, name="c_fc")()
+            proj_kernel, proj_bias = _DenseKernelBias(
+                4 * self.width, self.width, name="c_proj")()
+            return ln_mlp_block_q8(
+                x, ln2_scale, ln2_bias, fc_kernel, fc_bias,
+                proj_kernel.astype(self.dtype), proj_bias,
+                activation="quick_gelu")
 
         # pre-LN fused into the QKV matmul (ops.ln_matmul / the full
         # ops.fused_attention chain): one HBM read of the residual stream
@@ -244,6 +274,7 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     ln_matmul_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, causal: bool = False, cls_only_last: bool = False):
@@ -253,7 +284,7 @@ class Transformer(nn.Module):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, self.dtype, self.attn_impl,
-                self.ln_matmul_impl, name=f"resblocks_{i}",
+                self.ln_matmul_impl, self.quant, name=f"resblocks_{i}",
             )(x, causal=causal,
               cls_only=cls_only_last and i == self.layers - 1)
         return x
@@ -264,6 +295,7 @@ class VisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     ln_matmul_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False,
@@ -312,7 +344,7 @@ class VisionTransformer(nn.Module):
         x = FP32LayerNorm(name="ln_pre")(x)
         x = Transformer(
             cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
-            self.dtype, self.attn_impl, self.ln_matmul_impl,
+            self.dtype, self.attn_impl, self.ln_matmul_impl, self.quant,
             name="transformer",
         )(x, cls_only_last=not return_tokens)
 
@@ -331,6 +363,7 @@ class TextTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     ln_matmul_impl: str = "auto"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, tokens, return_eot: bool = False, return_tokens: bool = False):
@@ -349,7 +382,8 @@ class TextTransformer(nn.Module):
 
         x = Transformer(
             cfg.transformer_width, cfg.transformer_layers, cfg.transformer_heads,
-            self.dtype, self.attn_impl, self.ln_matmul_impl, name="transformer",
+            self.dtype, self.attn_impl, self.ln_matmul_impl, self.quant,
+            name="transformer",
         )(x, causal=True)
         x = FP32LayerNorm(name="ln_final")(x)
 
@@ -374,12 +408,15 @@ class CLIP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     ln_matmul_impl: str = "auto"
+    quant: str = "none"
 
     def setup(self):
         self.visual = VisionTransformer(self.config, self.dtype,
-                                        self.attn_impl, self.ln_matmul_impl)
+                                        self.attn_impl, self.ln_matmul_impl,
+                                        self.quant)
         self.text = TextTransformer(self.config, self.dtype,
-                                    self.attn_impl, self.ln_matmul_impl)
+                                    self.attn_impl, self.ln_matmul_impl,
+                                    self.quant)
         self.logit_scale = self.param(
             "logit_scale", lambda key: jnp.asarray(np.log(1 / 0.07), jnp.float32)
         )
@@ -482,7 +519,10 @@ def clip_embed_dim(name: str) -> int:
 
 
 def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
-               ln_matmul_impl: str = "auto"):
+               ln_matmul_impl: str = "auto", quant: str = "none"):
+    """``quant='int8'``: W8A8 serving mode for the transformer towers
+    (ops.quant) — inference-only, ViT/text transformers only (the RN
+    towers are conv-profile and stay bf16)."""
     if name in ("RN50", "RN101"):
         from uml_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
 
@@ -496,4 +536,4 @@ def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
     if name not in CLIP_CONFIGS:
         raise ValueError(f"Unknown CLIP encoder {name!r}; have {list(CLIP_CONFIGS)}")
     return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl,
-                ln_matmul_impl=ln_matmul_impl)
+                ln_matmul_impl=ln_matmul_impl, quant=quant)

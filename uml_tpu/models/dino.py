@@ -98,6 +98,7 @@ class _DenseParams(nn.Module):
 class DinoBlock(nn.Module):
     config: DinoConfig
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, cls_only: bool = False):
@@ -125,6 +126,29 @@ class DinoBlock(nn.Module):
             ls1 = self.param("layerscale1", nn.initializers.ones, (dim,))
             out_kernel = out_kernel * ls1[None, :]
             out_bias = out_bias * ls1
+        if self.quant == "int8" and not cls_only:
+            # W8A8 serving path (ops.quant) — the layerscale folds above
+            # happen in float BEFORE quantization, so the per-channel
+            # scales absorb them exactly.  The final cls_only block stays
+            # bf16 (see models/clip.py).
+            from uml_tpu.ops.quant import ln_attn_block_q8, ln_mlp_block_q8
+
+            x = ln_attn_block_q8(x, ln1_scale, ln1_bias, qkv_kernel,
+                                 qkv_bias, out_kernel.astype(self.dtype),
+                                 out_bias, heads=h, eps=cfg.ln_eps)
+            ln2_scale, ln2_bias = _LNParams(dim, name="norm2")()
+            fc1_kernel, fc1_bias = _DenseParams(dim, cfg.mlp_ratio * dim,
+                                                name="fc1")()
+            fc2_kernel, fc2_bias = _DenseParams(cfg.mlp_ratio * dim, dim,
+                                                name="fc2")()
+            if cfg.layerscale:
+                ls2 = self.param("layerscale2", nn.initializers.ones, (dim,))
+                fc2_kernel = fc2_kernel * ls2[None, :]
+                fc2_bias = fc2_bias * ls2
+            return ln_mlp_block_q8(x, ln2_scale, ln2_bias, fc1_kernel,
+                                   fc1_bias, fc2_kernel.astype(self.dtype),
+                                   fc2_bias, eps=cfg.ln_eps,
+                                   activation="gelu_exact")
         if cls_only:
             x = ln_attn_block_cls(x, ln1_scale, ln1_bias,
                                   qkv_kernel.astype(self.dtype), qkv_bias,
@@ -171,6 +195,7 @@ class _ConvKernelBias(nn.Module):
 class DinoViT(nn.Module):
     config: DinoConfig
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, pixels, return_tokens: bool = False, pool: str = "token",
@@ -215,7 +240,8 @@ class DinoViT(nn.Module):
 
         cls_only_last = not return_tokens and pool == "token"
         for i in range(cfg.num_layers):
-            x = DinoBlock(cfg, self.dtype, name=f"blocks_{i}")(
+            x = DinoBlock(cfg, self.dtype, self.quant,
+                          name=f"blocks_{i}")(
                 x, cls_only=cls_only_last and i == cfg.num_layers - 1)
 
         x = nn.LayerNorm(epsilon=cfg.ln_eps, dtype=jnp.float32,
@@ -310,10 +336,12 @@ def port_dinov2_state_dict(sd, config: DinoConfig) -> dict:
     return {"params": params}
 
 
-def load_dino(name: str, dtype=jnp.bfloat16, allow_random_init=False):
-    """-> (DinoViT, variables). Loads HF weights from the local cache."""
+def load_dino(name: str, dtype=jnp.bfloat16, allow_random_init=False,
+              quant: str = "none"):
+    """-> (DinoViT, variables). Loads HF weights from the local cache.
+    ``quant='int8'``: W8A8 serving mode for the transformer blocks."""
     cfg, repo = DINO_CONFIGS[name]
-    model = DinoViT(cfg, dtype=dtype)
+    model = DinoViT(cfg, dtype=dtype, quant=quant)
     try:
         import torch
         from transformers import AutoModel

@@ -30,14 +30,19 @@ def clip_weights_path(name: str) -> str | None:
     return path if os.path.exists(path) else None
 
 
-def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False):
-    """-> (model: CLIP, variables). Ports torch weights when available."""
+def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False,
+              quant: str = "none"):
+    """-> (model: CLIP, variables). Ports torch weights when available.
+
+    ``quant='int8'``: W8A8 serving mode for the ViT/text transformers
+    (ops.quant) — ~2x MXU rate on v5e, per-row dynamic activation scales,
+    no calibration pass.  RN towers ignore it."""
     path = clip_weights_path(name)
     if path is not None:
         from uml_tpu.models.port_torch import load_clip_checkpoint
 
         print(f"=> Loading CLIP weights from {path}")
-        return load_clip_checkpoint(path, dtype=dtype)
+        return load_clip_checkpoint(path, dtype=dtype, quant=quant)
     if not allow_random_init:
         raise FileNotFoundError(
             f"No CLIP weights for {name!r}. Set UML_CLIP_WEIGHTS_DIR to a "
@@ -46,7 +51,7 @@ def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False):
             "for smoke testing."
         )
     print(f"=> [random-init] CLIP {name} (no pretrained weights found)")
-    model = build_clip(name, dtype=dtype)
+    model = build_clip(name, dtype=dtype, quant=quant)
     variables = model.init(
         jax.random.key(0),
         jnp.zeros((1, model.config.image_resolution,
@@ -65,9 +70,11 @@ class ClipEncoder:
     """
 
     def __init__(self, name: str, dtype=jnp.bfloat16,
-                 allow_random_init: bool = False, mesh=None):
+                 allow_random_init: bool = False, mesh=None,
+                 quant: str = "none"):
         self.name = name
-        self.model, self.variables = load_clip(name, dtype, allow_random_init)
+        self.model, self.variables = load_clip(name, dtype, allow_random_init,
+                                               quant=quant)
         self.embed_dim = self.model.config.embed_dim
         self._dtype = dtype
         self.mesh = mesh

@@ -177,10 +177,12 @@ def port_clip_state_dict(sd) -> dict:
     return {"params": params}
 
 
-def load_clip_checkpoint(path: str, dtype=None):
+def load_clip_checkpoint(path: str, dtype=None, quant: str = "none"):
     """Read a torch .pt/.pth CLIP checkpoint -> (model, flax variables).
 
     Dispatches ViT vs ModifiedResNet checkpoints by key schema.
+    ``quant='int8'`` builds the ViT model in W8A8 serving mode (ops.quant);
+    RN checkpoints ignore it (conv towers stay bf16).
     """
     import jax.numpy as jnp
     import torch
@@ -195,6 +197,7 @@ def load_clip_checkpoint(path: str, dtype=None):
           if k not in ("input_resolution", "context_length", "vocab_size")}
     if is_vit_checkpoint(sd):
         cfg = config_from_state_dict(sd)
-        return CLIP(cfg, dtype=dtype), port_clip_state_dict(sd)
+        return (CLIP(cfg, dtype=dtype, quant=quant),
+                port_clip_state_dict(sd))
     rn_cfg, text_cfg, variables = port_clip_resnet_checkpoint(sd)
     return ClipResNetModel(rn_cfg, text_cfg, dtype=dtype), variables

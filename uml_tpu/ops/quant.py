@@ -1,0 +1,357 @@
+"""Int8 (W8A8) inference kernels for the transformer half-blocks.
+
+Serving-oriented quantized twins of ops.fused_attention.ln_attn_block and
+ops.ln_matmul.ln_mlp_block: the projection matmuls (QKV, out-proj, MLP
+fc1/fc2 — ~92% of a ViT forward's FLOPs) run as int8 x int8 -> int32 MXU
+dots, which the v5e executes at 394 TOPS vs 197 TFLOPs bf16 — a 2x
+physics ceiling over the bf16 extraction roofline this framework already
+measures at ~87%.  Everything shape-sensitive about accuracy stays in
+high precision: LN statistics fp32, attention scores/softmax/PV exactly
+the bf16 kernels' math, bias adds and the GELU epilogue fp32.
+
+Quantization scheme (no calibration pass needed):
+  * weights: symmetric per-OUTPUT-CHANNEL int8, quantized in-graph from
+    the LN-folded fp32 weights (one tiny XLA pass per layer per forward,
+    hoistable by the caller; never per grid program);
+  * activations: symmetric per-ROW dynamic int8 — the kernel already owns
+    the fp32 LN output row in VMEM, so the absmax reduce + scale + round
+    are three VPU passes with zero extra HBM traffic.  Per-row dynamic
+    scales are the LLM.int8()-style robust choice: no calibration data,
+    no static-range tuning, exact for the worst row of every batch.
+  * dequant: dot(q_x * s_row, q_w * s_col) == (s_row x s_col) * dot(q_x,
+    q_w) — an exact rank-1 fp32 epilogue on the int32 accumulator.
+
+Rounding is floor(x + 0.5) (round-half-up): identical, branch-free code
+in the Mosaic kernel, the jnp reference, and the interpret path, so all
+three agree bit-for-bit on the quantized integers.
+
+Inference-only by design: the backward of a quantized op is the float
+op's backward in any straight-through scheme, so training paths keep the
+bf16 kernels (which have hand-written Pallas backwards).  The reference
+has no quantized path at all (fp16 CUDA via torch, engine/clip/model.py:
+381-402); this module is net-new serving capability.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uml_tpu.ops.fused_attention import (VMEM_CEILING, _group_and_params,
+                                         _pair_attention, fold_ln_into_matmul)
+from uml_tpu.ops.ln_matmul import _KERNEL_ACTIVATIONS
+
+INT8_MAX = 127.0
+
+
+def _round_half_up(x):
+    """Branch-free round-half-up: identical lowering in Mosaic, XLA, and
+    the interpret path (jnp.rint's round-half-even is not guaranteed a
+    Mosaic lowering on every jaxlib)."""
+    return jnp.floor(x + 0.5)
+
+
+def quantize_weight(w):
+    """fp weight [K, M] -> (int8 [K, M], fp32 col scales [M]).
+
+    Symmetric per-output-channel: scale_m = absmax(w[:, m]) / 127.
+    Runs as a tiny XLA pass (3 elementwise/reduce ops over the weight);
+    jit CSE evaluates it once per layer per compiled forward.
+    """
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.maximum(absmax, 1e-12) / INT8_MAX
+    q = jnp.clip(_round_half_up(wf / scale[None, :]),
+                 -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_rows(xf):
+    """fp32 activations [S, K] -> (int8 [S, K], fp32 row scales [S, 1])."""
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / INT8_MAX
+    q = jnp.clip(_round_half_up(xf / scale),
+                 -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def _q8_dot(xq, row_scale, wq, col_scale):
+    """(int8 [S, K] x int8 [K, M]) -> fp32 [S, M] with the exact rank-1
+    dequant epilogue.  The dot accumulates in int32 on the MXU (v5e: 2x
+    the bf16 rate); K <= 4096 x |q| <= 127^2 stays far inside int32."""
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * row_scale * col_scale[None, :]
+
+
+def _ln_rows(xf, eps):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    return (xf - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
+                     bo_ref, o_ref, *, eps, heads, head_dim, causal,
+                     dot_dtype):
+    """Int8 twin of fused_attention._block_kernel: o = x + (MHA(rawLN(x)
+    @int8 w + b) @int8 wo + bo).  The QKV and out-proj dots run int8 on
+    the MXU; the per-head-pair attention math (scores, exp2 softmax, PV)
+    is byte-identical to the bf16 kernel — it reuses _pair_attention."""
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)                    # [S, K]
+        xn = _ln_rows(xf, eps)
+        xq, xs = _quantize_rows(xn)
+        qkv = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
+
+        cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
+                               causal=causal, dot_dtype=dot_dtype,
+                               b_eff=b_ref[:])
+        attn = jnp.concatenate(cols, axis=-1)                # fp32 [S, H*D]
+        aq, asc = _quantize_rows(attn)
+        delta = _q8_dot(aq, asc, woq_ref[:], wosc_ref[:])
+        o_ref[j] = (xf + delta
+                    + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
+                   b2_ref, o_ref, *, eps, activation):
+    """Int8 twin of ln_matmul._mlp_block_kernel: o = x + act(rawLN(x)
+    @int8 w1 + b1) @int8 w2 + b2.  The [S, 4K] hidden never exists in
+    HBM; the GELU runs fp32 on the dequantized pre-activation."""
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)
+        xn = _ln_rows(xf, eps)
+        xq, xs = _quantize_rows(xn)
+        pre = _q8_dot(xq, xs, w1q_ref[:], w1sc_ref[:])
+        y = _KERNEL_ACTIVATIONS[activation](
+            pre + b1_ref[:].astype(jnp.float32))
+        yq, ys = _quantize_rows(y)
+        out = _q8_dot(yq, ys, w2q_ref[:], w2sc_ref[:])
+        o_ref[j] = (xf + out
+                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1):
+    """Working set of the int8 attention half-block: int8 weights + fp32
+    scales resident, double-buffered bf16 tiles, fp32/int8 row temps, and
+    the per-pair [S, S] score temporaries."""
+    hd = heads * head_dim
+    w = k * 3 * hd + hd * k + 4 * (3 * hd + k)
+    tile = seq_len * (2 * k + 2 * k)          # in/out bf16
+    temps = seq_len * (4 * k + k + 4 * 3 * hd + 4 * hd + hd)
+    scores = seq_len * seq_len * (4 + 2)
+    return w + 2 * g * tile + temps + scores
+
+
+def mlp_q8_vmem_bytes(k, m, seq_len, g=1):
+    w = k * m + m * k + 4 * (m + k)
+    tile = seq_len * (2 * k + 2 * k)
+    temps = seq_len * (4 * k + k + 4 * m + m)
+    return w + 2 * g * tile + temps
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "causal", "interpret"))
+def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
+                  causal, interpret):
+    bsz, s, k = x.shape
+    m3 = wq.shape[1]
+    hd = heads * head_dim
+    g, cparams = _group_and_params(
+        bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g))
+    return pl.pallas_call(
+        functools.partial(_block_q8_kernel, eps=eps, heads=heads,
+                          head_dim=head_dim, causal=causal,
+                          dot_dtype=jnp.bfloat16),
+        grid=(bsz // g,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, k), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim
+                   + 2 * bsz * s * hd * k),
+            bytes_accessed=(2 * x.size * x.dtype.itemsize
+                            + wq.size + woq.size),
+            transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, wq, wsc, b_eff, woq, wosc, bo)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "activation",
+                                             "interpret"))
+def _mlp_q8_fwd(x, w1q, w1sc, b1, w2q, w2sc, b2, eps, activation, interpret):
+    bsz, s, k = x.shape
+    m = w1q.shape[1]
+    g, cparams = _group_and_params(
+        bsz, need_fn=lambda g: mlp_q8_vmem_bytes(k, m, s, g))
+    return pl.pallas_call(
+        functools.partial(_mlp_q8_kernel, eps=eps, activation=activation),
+        grid=(bsz // g,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, k), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * s * k * m,
+            bytes_accessed=(2 * x.size * x.dtype.itemsize
+                            + w1q.size + w2q.size),
+            transcendentals=bsz * s * m if activation else 0,
+        ),
+        interpret=interpret,
+    )(x, w1q, w1sc, b1, w2q, w2sc, b2)
+
+
+# ---------------------------------------------------------------------------
+# jnp references (simulated int8) — the CPU execution path and the test
+# oracle.  Same quantize -> integer dot -> dequant math as the kernels;
+# the integer dot runs via int32 (XLA CPU lowers int8 dots generically).
+
+
+def _attn_q8_reference_core(xn, wq, wsc, b_eff, heads, causal):
+    from uml_tpu.ops.attention import mha_reference
+
+    b, s, k = xn.shape
+    d = wq.shape[1] // (3 * heads)
+    xq, xs = _quantize_rows(xn)
+    qkv = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    qkv = qkv.astype(jnp.float32) * xs * wsc[None, None, :]
+    qkv = (qkv + b_eff.astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = qkv.reshape(b, s, 3, heads, d).transpose(2, 0, 3, 1, 4)
+    attn = mha_reference(qkv[0], qkv[1], qkv[2], causal=causal)
+    return attn.transpose(0, 2, 1, 3).reshape(b, s, heads * d)
+
+
+def ln_attn_block_q8_reference(x, scale, bias, kernel, kbias, wo, bo, *,
+                               heads, causal=False, eps=1e-5):
+    """jnp twin of the int8 attention half-block (simulated int8)."""
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    wq, wsc = quantize_weight(w_eff)
+    woq, wosc = quantize_weight(wo)
+    xf = x.astype(jnp.float32)
+    xn = _ln_rows(xf, eps)
+    attn = _attn_q8_reference_core(xn, wq, wsc, b_eff, heads, causal)
+    aq, asc = _quantize_rows(attn.astype(jnp.float32))
+    delta = jax.lax.dot_general(
+        aq, woq, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    delta = delta.astype(jnp.float32) * asc * wosc[None, None, :]
+    return (xf + delta + bo.astype(jnp.float32)).astype(x.dtype)
+
+
+def ln_mlp_block_q8_reference(x, scale, bias, w1, b1, w2, b2, *,
+                              eps=1e-5, activation=None):
+    """jnp twin of the int8 MLP half-block (simulated int8)."""
+    from uml_tpu.ops.ln_matmul import _ACTIVATIONS
+
+    w1_eff, b1_eff = fold_ln_into_matmul(scale, bias, w1, b1)
+    w1q, w1sc = quantize_weight(w1_eff)
+    w2q, w2sc = quantize_weight(w2)
+    xf = x.astype(jnp.float32)
+    xn = _ln_rows(xf, eps)
+    xq, xs = _quantize_rows(xn)
+    pre = jax.lax.dot_general(
+        xq, w1q, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    pre = pre.astype(jnp.float32) * xs * w1sc[None, None, :]
+    y = _ACTIVATIONS[activation](pre + b1_eff.astype(jnp.float32))
+    yq, ys = _quantize_rows(y)
+    out = jax.lax.dot_general(
+        yq, w2q, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * ys * w2sc[None, None, :]
+    return (xf + out + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# public entry points (same signatures as the bf16 half-blocks)
+
+
+def supports_q8_block(k: int, heads: int, head_dim: int, seq_len: int) -> bool:
+    if head_dim * 2 != 128 or heads % 2 != 0 or k % 128 != 0:
+        return False
+    return block_q8_vmem_bytes(k, heads, head_dim, seq_len) <= VMEM_CEILING
+
+
+def supports_q8_mlp(k: int, m: int, seq_len: int) -> bool:
+    return (k % 128 == 0 and m % 128 == 0
+            and mlp_q8_vmem_bytes(k, m, seq_len) <= VMEM_CEILING)
+
+
+def ln_attn_block_q8(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
+                     causal: bool = False, eps: float = 1e-5,
+                     impl: str = "auto"):
+    """x + (MHA(LN(x)) @ wo + bo) with int8 projection matmuls.
+
+    Inference-only (no custom_vjp — training uses the bf16 half-blocks).
+    ``impl='auto'``: Pallas on TPU for supported shapes, else the jnp
+    simulated-int8 reference (identical quantization math, so CPU runs
+    and unit tests exercise the same numerics the TPU kernel computes).
+    """
+    d = kernel.shape[1] // (3 * heads)
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and x.ndim == 3
+                and wo.shape == (heads * d, x.shape[-1])
+                and supports_q8_block(x.shape[-1], heads, d, x.shape[1])
+                else "reference")
+    if impl == "pallas":
+        w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+        wq, wsc = quantize_weight(w_eff)
+        woq, wosc = quantize_weight(wo)
+        interpret = jax.default_backend() == "cpu"
+        return _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads,
+                             d, causal, interpret)
+    return ln_attn_block_q8_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                      heads=heads, causal=causal, eps=eps)
+
+
+def ln_mlp_block_q8(x, scale, bias, w1, b1, w2, b2, *, eps: float = 1e-5,
+                    activation: str | None = None, impl: str = "auto"):
+    """x + act(LN(x) @ w1 + b1) @ w2 + b2 with int8 matmuls (see
+    ln_attn_block_q8; inference-only)."""
+    k = x.shape[-1]
+    m = w1.shape[-1]
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        impl = ("pallas" if on_tpu and x.ndim == 3 and w2.shape == (m, k)
+                and supports_q8_mlp(k, m, x.shape[1])
+                else "reference")
+    if impl == "pallas":
+        w1_eff, b1_eff = fold_ln_into_matmul(scale, bias, w1, b1)
+        w1q, w1sc = quantize_weight(w1_eff)
+        w2q, w2sc = quantize_weight(w2)
+        interpret = jax.default_backend() == "cpu"
+        return _mlp_q8_fwd(x, w1q, w1sc, b1_eff, w2q, w2sc, b2, eps,
+                           activation, interpret)
+    return ln_mlp_block_q8_reference(x, scale, bias, w1, b1, w2, b2,
+                                     eps=eps, activation=activation)
