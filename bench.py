@@ -189,7 +189,10 @@ def _clip_q8_builder(name):
 FAMILY_BUILDERS = {
     # W8A8 serving mode (ops.quant): int8 MXU dots at 394 TOPS vs 197
     # TFLOPs bf16 on v5e — the physics ceiling past the bf16 roofline
-    # the headline already saturates (~87% of 5778 img/s).  Feature
+    # the headline already saturates (~87% of 5778 img/s).  Analytic
+    # speed of light for this mode (11 layers' projection matmuls at
+    # 394, attention pair-dots + CLS block + patch embed at 197, same
+    # 34.094 GF/img accounting as the headline): 10503 img/s.  Feature
     # fidelity vs bf16 is cosine >0.999 (tests/test_quant.py).
     "extract_int8_vitb16_img_per_s": _clip_q8_builder("ViT-B/16"),
     "extract_clip_vitl14_img_per_s": _clip_builder("ViT-L/14"),
