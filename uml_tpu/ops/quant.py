@@ -98,16 +98,33 @@ def _ln_rows(xf, eps):
 
 def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
                      bo_ref, o_ref, *, eps, heads, head_dim, causal,
-                     dot_dtype):
+                     dot_dtype, slab):
     """Int8 twin of fused_attention._block_kernel: o = x + (MHA(rawLN(x)
     @int8 w + b) @int8 wo + bo).  The QKV and out-proj dots run int8 on
     the MXU; the per-head-pair attention math (scores, exp2 softmax, PV)
-    is byte-identical to the bf16 kernel — it reuses _pair_attention."""
-    for j in range(x_ref.shape[0]):
-        xf = x_ref[j].astype(jnp.float32)                    # [S, K]
-        xn = _ln_rows(xf, eps)
+    is byte-identical to the bf16 kernel — it reuses _pair_attention.
+
+    ``slab``: run the QKV projection as ONE [G*S, K] int8 dot.  int8
+    operands tile at 32 sublanes (vs 8 for bf16), so a per-image S=197
+    dot pads to 224 rows — 12% dead MXU cycles; the G*S slab amortizes
+    the pad to ~1.5%.  Row quantization is per-row either way, so the
+    slab is numerically identical.  Attention and the out-proj stay
+    per-image (scores are per-image; the out-proj is 1/3 the QKV FLOPs)."""
+    g, s, k = x_ref.shape
+    if slab:
+        xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
+        xn = _ln_rows(xf_all, eps)
         xq, xs = _quantize_rows(xn)
-        qkv = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
+        qkv_all = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
+    for j in range(g):
+        if slab:
+            xf = xf_all[j * s:(j + 1) * s]
+            qkv = qkv_all[j * s:(j + 1) * s]
+        else:
+            xf = x_ref[j].astype(jnp.float32)                # [S, K]
+            xn = _ln_rows(xf, eps)
+            xq, xs = _quantize_rows(xn)
+            qkv = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
 
         cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
                                causal=causal, dot_dtype=dot_dtype,
@@ -120,12 +137,16 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
 
 
 def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
-                   b2_ref, o_ref, *, eps, activation):
+                   b2_ref, o_ref, *, eps, activation, slab):
     """Int8 twin of ln_matmul._mlp_block_kernel: o = x + act(rawLN(x)
     @int8 w1 + b1) @int8 w2 + b2.  The [S, 4K] hidden never exists in
-    HBM; the GELU runs fp32 on the dequantized pre-activation."""
-    for j in range(x_ref.shape[0]):
-        xf = x_ref[j].astype(jnp.float32)
+    HBM; the GELU runs fp32 on the dequantized pre-activation.
+    ``slab`` rows per dot (see _block_q8_kernel: int8's 32-sublane tile
+    makes per-image S=197 dots 12% pad; the G*S slab is ~1.5%)."""
+    g, s, k = x_ref.shape
+    step = slab if g % slab == 0 else (2 if g % 2 == 0 else 1)
+    for j0 in range(0, g, step):
+        xf = x_ref[j0:j0 + step].reshape(step * s, k).astype(jnp.float32)
         xn = _ln_rows(xf, eps)
         xq, xs = _quantize_rows(xn)
         pre = _q8_dot(xq, xs, w1q_ref[:], w1sc_ref[:])
@@ -133,27 +154,40 @@ def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
             pre + b1_ref[:].astype(jnp.float32))
         yq, ys = _quantize_rows(y)
         out = _q8_dot(yq, ys, w2q_ref[:], w2sc_ref[:])
-        o_ref[j] = (xf + out
-                    + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        out = (xf + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[j0:j0 + step] = out.reshape(step, s, k)
 
 
-def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1):
+def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1, slab=False):
     """Working set of the int8 attention half-block: int8 weights + fp32
     scales resident, double-buffered bf16 tiles, fp32/int8 row temps, and
-    the per-pair [S, S] score temporaries."""
+    the per-pair [S, S] score temporaries.  ``slab`` holds the whole
+    [G*S, ...] LN/quant/qkv chain live at once."""
     hd = heads * head_dim
+    rows = g * seq_len if slab else seq_len
     w = k * 3 * hd + hd * k + 4 * (3 * hd + k)
     tile = seq_len * (2 * k + 2 * k)          # in/out bf16
-    temps = seq_len * (4 * k + k + 4 * 3 * hd + 4 * hd + hd)
+    temps = rows * (4 * k + k + 4 * 3 * hd + 2 * 3 * hd)
+    temps += seq_len * (4 * hd + hd)          # per-image attn/out-proj rows
     scores = seq_len * seq_len * (4 + 2)
     return w + 2 * g * tile + temps + scores
 
 
-def mlp_q8_vmem_bytes(k, m, seq_len, g=1):
+def mlp_q8_vmem_bytes(k, m, seq_len, g=1, slab=1):
+    rows = slab * seq_len
     w = k * m + m * k + 4 * (m + k)
     tile = seq_len * (2 * k + 2 * k)
-    temps = seq_len * (4 * k + k + 4 * m + m)
+    temps = rows * (4 * k + k + 8 * m + m)    # xf/xq + int32 dot + fp32 act
     return w + 2 * g * tile + temps
+
+
+def _q8_slab_enabled():
+    """Slab the projection dots across the G batch entries (default on:
+    int8's 32-sublane tile pads a per-image S=197 dot 12%).  UML_Q8_SLAB=0
+    for A/B."""
+    import os
+
+    return os.environ.get("UML_Q8_SLAB", "1") != "0"
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -163,12 +197,14 @@ def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
     bsz, s, k = x.shape
     m3 = wq.shape[1]
     hd = heads * head_dim
+    slab = _q8_slab_enabled()
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g))
+        bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g,
+                                                   slab))
     return pl.pallas_call(
         functools.partial(_block_q8_kernel, eps=eps, heads=heads,
                           head_dim=head_dim, causal=causal,
-                          dot_dtype=jnp.bfloat16),
+                          dot_dtype=jnp.bfloat16, slab=slab),
         grid=(bsz // g,),
         compiler_params=cparams,
         in_specs=[
@@ -200,10 +236,21 @@ def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
 def _mlp_q8_fwd(x, w1q, w1sc, b1, w2q, w2sc, b2, eps, activation, interpret):
     bsz, s, k = x.shape
     m = w1q.shape[1]
+
+    def _slab(g):
+        # same policy as ln_matmul._mlp_slab: full-G slab at production
+        # batches while the int32/fp32 hidden slab stays modest
+        if not _q8_slab_enabled():
+            return 1
+        if bsz >= 64 and g * s <= 1024:
+            return g
+        return min(g, 2) if s <= 512 else 1
+
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: mlp_q8_vmem_bytes(k, m, s, g))
+        bsz, need_fn=lambda g: mlp_q8_vmem_bytes(k, m, s, g, _slab(g)))
     return pl.pallas_call(
-        functools.partial(_mlp_q8_kernel, eps=eps, activation=activation),
+        functools.partial(_mlp_q8_kernel, eps=eps, activation=activation,
+                          slab=_slab(g)),
         grid=(bsz // g,),
         compiler_params=cparams,
         in_specs=[
