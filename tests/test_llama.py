@@ -181,3 +181,86 @@ def test_gqa_repeat_and_padding_invariance():
     out2 = model.apply(params, jnp.asarray(ids2), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(out[1, :7]), np.asarray(out2[1, :7]),
                                atol=1e-5)
+
+
+def test_int8w_close_to_float_and_halves_weight_bytes():
+    """Weight-only int8 (Q8Dense + quantize_llama_params): pooled
+    embeddings stay ~1e-3-cosine of the float model, and projection
+    weight bytes halve — the property that puts OpenLLaMA-13B on ONE
+    16 GB v5e chip instead of 2-chip TP."""
+    from uml_tpu.models.llama import quantize_llama_params
+
+    model = LlamaEncoder(TINY)
+    model_q = LlamaEncoder(TINY, quant="int8_w")
+    rng = np.random.default_rng(2)
+    ids, mask = _tokens(rng)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(ids),
+                                 jnp.asarray(mask))
+    qparams = quantize_llama_params(params)
+
+    def pooled(m, p):
+        hidden = m.apply(p, jnp.asarray(ids), jnp.asarray(mask))
+        w = jnp.asarray(mask)[..., None].astype(hidden.dtype)
+        return np.asarray((hidden * w).sum(1) / w.sum(1))
+
+    f = pooled(model, params)
+    q = pooled(model_q, qparams)
+    cos = np.sum(f * q, -1) / (np.linalg.norm(f, axis=-1)
+                               * np.linalg.norm(q, axis=-1))
+    assert np.min(cos) > 0.995
+
+    def proj_bytes(tree):
+        total = 0
+        for lname, layer in tree["params"].items():
+            if not lname.startswith("layers_"):
+                continue
+            for mod in layer.values():
+                for leaf in (mod.values() if isinstance(mod, dict) else []):
+                    total += leaf.size * leaf.dtype.itemsize
+        return total
+
+    fb, qb = proj_bytes(params), proj_bytes(qparams)
+    assert qb < 0.27 * fb  # fp32 kernels -> int8 + tiny scales
+
+    # random init of the quant model produces the same param STRUCTURE
+    # (so checkpointing / sharding trees line up)
+    init_q = jax.jit(model_q.init)(jax.random.key(0), jnp.asarray(ids),
+                                   jnp.asarray(mask))
+    assert (jax.tree_util.tree_structure(init_q)
+            == jax.tree_util.tree_structure(qparams))
+
+
+def test_int8w_tp_sharded_matches_unsharded():
+    """The TP rules shard kernel_q8 like kernel and col-scales like
+    col-biases; sharded == unsharded through the quantized forward."""
+    from uml_tpu.core.meshes import create_mesh
+    from uml_tpu.models.llama import quantize_llama_params
+    from uml_tpu.parallel import apply_tp_sharding
+
+    model = LlamaEncoder(TINY)
+    model_q = LlamaEncoder(TINY, quant="int8_w")
+    rng = np.random.default_rng(3)
+    ids, mask = _tokens(rng)
+    params = jax.jit(model.init)(jax.random.key(0), jnp.asarray(ids),
+                                 jnp.asarray(mask))
+    qparams = quantize_llama_params(params)
+
+    def pooled(p, ids, mask):
+        hidden = model_q.apply(p, ids, mask)
+        m = mask[..., None].astype(hidden.dtype)
+        return (hidden * m).sum(1) / m.sum(1)
+
+    base = jax.jit(pooled)(qparams, jnp.asarray(ids), jnp.asarray(mask))
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    sharded = apply_tp_sharding(qparams, mesh, rules=LLAMA_TP_RULES)
+    q_mod = sharded["params"]["layers_0"]["q_proj"]
+    dn_mod = sharded["params"]["layers_0"]["down_proj"]
+    assert "model" in str(q_mod["kernel_q8"].sharding.spec)
+    assert "model" in str(q_mod["scale"].sharding.spec)      # col: split
+    assert "model" in str(dn_mod["kernel_q8"].sharding.spec)
+    assert "model" not in str(dn_mod["scale"].sharding.spec)  # row: repl
+    with mesh:
+        tp = jax.jit(pooled)(sharded, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(base), np.asarray(tp),
+                               atol=1e-5, rtol=1e-5)

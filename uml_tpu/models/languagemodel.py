@@ -55,13 +55,17 @@ class TextModel:
     """
 
     def __init__(self, model_name: str, backend: str = "auto", mesh=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, quant: str = "none"):
         from transformers import AutoTokenizer
 
         self.model_name = MODEL_ALIASES.get(model_name, model_name)
         self.model_type = model_family(self.model_name)
         self.mesh = mesh
         self.dtype = dtype
+        # 'int8_w': weight-only int8 projections on the native backend
+        # (models.llama.Q8Dense) — halves weight HBM so OpenLLaMA-13B
+        # fits one 16 GB v5e chip; ignored by the flax/torch fallbacks
+        self.quant = quant
         self.tokenizer = AutoTokenizer.from_pretrained(self.model_name)
         if self.model_type == "decoder" and self.tokenizer.pad_token is None:
             self.tokenizer.pad_token = self.tokenizer.eos_token
@@ -86,8 +90,12 @@ class TextModel:
         hf_cfg = AutoConfig.from_pretrained(self.model_name)
         cfg = LlamaConfig.from_hf(hf_cfg)
         hf = AutoModel.from_pretrained(self.model_name)
-        self.model = LlamaEncoder(cfg, dtype=self.dtype)
+        self.model = LlamaEncoder(cfg, dtype=self.dtype, quant=self.quant)
         self._params = port_hf_llama(hf.state_dict(), cfg, dtype=self.dtype)
+        if self.quant == "int8_w":
+            from uml_tpu.models.llama import quantize_llama_params
+
+            self._params = quantize_llama_params(self._params)
         del hf
         self._config = hf_cfg
         if self.mesh is not None:

@@ -88,9 +88,68 @@ def _rope(q, k, positions, theta):
             (kf * cos + rot_half(kf) * sin).astype(k.dtype))
 
 
+class Q8Dense(nn.Module):
+    """Weight-only int8 Dense (no bias): ``kernel_q8`` int8 [in, out] +
+    per-output-channel fp32 ``scale``, y = (x @ q) * scale.
+
+    The scale rides the OUTPUT (exact: sum_k x_k q_km s_m == s_m sum_k
+    x_k q_km), so the dequantized weight never materializes — the int8
+    tensor is what lives in HBM, halving weight bytes vs bf16.  That is
+    the capability win: OpenLLaMA-13B's ~26 GB of bf16 weights need
+    2-chip tensor parallelism on 16 GB v5e chips; int8 (~13 GB) fits ONE
+    chip (languagemodel.py:72-73 is the reference's single-GPU analog).
+
+    Real checkpoints arrive via quantize_llama_params; the random init
+    here (uniform int8 + a lecun-scaled constant) only serves smoke
+    tests.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kq = self.param(
+            "kernel_q8",
+            lambda key: jax.random.randint(
+                key, (in_features, self.features), -127, 128, jnp.int8))
+        scale = self.param(
+            "scale",
+            lambda key: jnp.full((self.features,),
+                                 3.0 / (127.0 * in_features**0.5),
+                                 jnp.float32))
+        y = jnp.dot(x.astype(self.dtype), kq.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * scale[None, :]).astype(self.dtype)
+
+
+_Q8_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj",
+             "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_llama_params(variables):
+    """Ported bf16/fp32 LlamaEncoder params -> the Q8Dense layout:
+    every projection's {kernel} becomes {kernel_q8 int8, scale f32}
+    (symmetric per-output-channel, ops.quant.quantize_weight).  Embed
+    and norms stay in float.  Use with LlamaEncoder(quant='int8_w')."""
+    from uml_tpu.ops.quant import quantize_weight
+
+    def walk(tree, name):
+        if isinstance(tree, dict):
+            if name in _Q8_PROJS and "kernel" in tree:
+                q, s = quantize_weight(tree["kernel"])
+                return {"kernel_q8": q, "scale": s}
+            return {k: walk(v, k) for k, v in tree.items()}
+        return tree
+
+    return walk(variables, "")
+
+
 class LlamaBlock(nn.Module):
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, mask, positions):
@@ -100,10 +159,18 @@ class LlamaBlock(nn.Module):
         kvh = cfg.num_key_value_heads
         d = cfg.hidden_size // h
 
+        if self.quant == "int8_w":
+            def dense(features, name):
+                return Q8Dense(features, dtype=self.dtype, name=name)
+        else:
+            def dense(features, name):
+                return nn.Dense(features, use_bias=False, dtype=self.dtype,
+                                name=name)
+
         y = RMSNorm(cfg.rms_norm_eps, name="input_norm")(x)
-        q = nn.Dense(h * d, use_bias=False, dtype=self.dtype, name="q_proj")(y)
-        k = nn.Dense(kvh * d, use_bias=False, dtype=self.dtype, name="k_proj")(y)
-        v = nn.Dense(kvh * d, use_bias=False, dtype=self.dtype, name="v_proj")(y)
+        q = dense(h * d, "q_proj")(y)
+        k = dense(kvh * d, "k_proj")(y)
+        v = dense(kvh * d, "v_proj")(y)
         q = q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
         k = k.reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, kvh, d).transpose(0, 2, 1, 3)
@@ -114,24 +181,25 @@ class LlamaBlock(nn.Module):
             v = jnp.repeat(v, rep, axis=1)
         attn = mha_reference(q, k, v, mask=mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, s, h * d)
-        x = x + nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                         name="o_proj")(attn)
+        x = x + dense(cfg.hidden_size, "o_proj")(attn)
 
         y = RMSNorm(cfg.rms_norm_eps, name="post_attn_norm")(x)
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
-                        dtype=self.dtype, name="gate_proj")(y)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False,
-                      dtype=self.dtype, name="up_proj")(y)
-        down = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(nn.silu(gate) * up)
+        gate = dense(cfg.intermediate_size, "gate_proj")(y)
+        up = dense(cfg.intermediate_size, "up_proj")(y)
+        down = dense(cfg.hidden_size, "down_proj")(nn.silu(gate) * up)
         return x + down
 
 
 class LlamaEncoder(nn.Module):
-    """Decoder-only stack -> last hidden states (the text-encoder use)."""
+    """Decoder-only stack -> last hidden states (the text-encoder use).
+
+    ``quant='int8_w'``: weight-only int8 projections (Q8Dense) — halves
+    weight HBM so OpenLLaMA-13B fits a single 16 GB v5e chip; pair with
+    quantize_llama_params on ported checkpoints."""
 
     config: LlamaConfig
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None):
@@ -149,8 +217,8 @@ class LlamaEncoder(nn.Module):
         positions = jnp.arange(s)
 
         for i in range(cfg.num_hidden_layers):
-            x = LlamaBlock(cfg, self.dtype, name=f"layers_{i}")(
-                x, mask, positions)
+            x = LlamaBlock(cfg, self.dtype, self.quant,
+                           name=f"layers_{i}")(x, mask, positions)
         return RMSNorm(cfg.rms_norm_eps, name="norm")(x)
 
 

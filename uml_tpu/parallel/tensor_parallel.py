@@ -40,11 +40,16 @@ def transformer_tp_rules():
 def _spec_for(path: str, leaf_name: str, ndim: int, rules) -> P:
     for pattern, kind in rules:
         if re.search(pattern, path):
-            if leaf_name == "kernel" and ndim == 2:
+            if leaf_name in ("kernel", "kernel_q8") and ndim == 2:
+                # int8 kernels (models.llama.Q8Dense) shard exactly like
+                # their float twins
                 return P(None, MODEL_AXIS) if kind == "col" else P(MODEL_AXIS, None)
-            if leaf_name == "bias" and ndim == 1 and kind == "col":
+            if leaf_name in ("bias", "scale") and ndim == 1 and kind == "col":
+                # per-output-channel quant scales follow the output dim,
+                # i.e. the bias rule: split for col-parallel, replicated
+                # for row-parallel
                 return P(MODEL_AXIS)
-            return P()  # row-parallel bias and scalars stay replicated
+            return P()  # row-parallel bias/scale and scalars replicated
     return P()  # everything else replicated
 
 
