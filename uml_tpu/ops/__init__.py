@@ -6,6 +6,11 @@ from uml_tpu.ops.attention import (
 )
 from uml_tpu.ops.image_norm import normalize_images
 from uml_tpu.ops.layer_norm import layer_norm
+from uml_tpu.ops.quant import (
+    ln_attn_block_q8,
+    ln_mlp_block_q8,
+    quantize_weight,
+)
 
 __all__ = [
     "multi_head_attention",
@@ -14,4 +19,7 @@ __all__ = [
     "dense_attention_bshd",
     "normalize_images",
     "layer_norm",
+    "ln_attn_block_q8",
+    "ln_mlp_block_q8",
+    "quantize_weight",
 ]
