@@ -29,22 +29,43 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_TFS = 197.0
+INT8_TOPS = 394.0   # v5e int8 MXU rate (2x bf16)
 CLS_ROWS = 8
 
 
-def vit_gflop_per_img(k, heads, layers, s, mlp, patch, in_ch=3):
-    """Real MXU GF per image for a CLS-pooled ViT forward on our kernels."""
+def _vit_parts(k, heads, layers, s, mlp, patch, in_ch=3):
+    """(projection GF, everything-else GF) per image, CLS-pooled ViT.
+
+    'Projection' = the QKV / out-proj / fc1 / fc2 matmuls of the
+    layers-1 non-final blocks — exactly the dots ops.quant runs int8.
+    'Else' = pair-packed scores+A@V, the CLS-only final block, and the
+    patch embed, which stay bf16 in both modes."""
     qkv = 2 * s * k * 3 * k
     sc_av = 2 * (2 * 2 * heads * s * s * 64)      # pair-packed (2x), sc+av
     out = 2 * s * k * k
-    full_layer = qkv + sc_av + out + 2 * 2 * s * k * mlp
+    mlp_f = 2 * 2 * s * k * mlp
     cls_attn = (2 * s * k * 2 * k                 # K,V for all S rows
                 + 2 * CLS_ROWS * k * k            # Q for 8 rows
                 + 2 * 2 * heads * CLS_ROWS * s * 64   # 8-row scores + A@V
                 + 2 * CLS_ROWS * k * k)           # 8-row out-proj
     cls_mlp = 2 * 2 * CLS_ROWS * k * mlp
     embed = 2 * (s - 1) * (patch * patch * in_ch) * k
-    return ((layers - 1) * full_layer + cls_attn + cls_mlp + embed) / 1e9
+    proj = (layers - 1) * (qkv + out + mlp_f)
+    rest = (layers - 1) * sc_av + cls_attn + cls_mlp + embed
+    return proj / 1e9, rest / 1e9
+
+
+def vit_gflop_per_img(k, heads, layers, s, mlp, patch, in_ch=3):
+    """Real MXU GF per image for a CLS-pooled ViT forward on our kernels."""
+    proj, rest = _vit_parts(k, heads, layers, s, mlp, patch, in_ch)
+    return proj + rest
+
+
+def vit_int8_sol(k, heads, layers, s, mlp, patch, in_ch=3):
+    """Speed of light (img/s) for the W8A8 mode (ops.quant): projection
+    dots at the int8 MXU rate, everything else at the bf16 rate."""
+    proj, rest = _vit_parts(k, heads, layers, s, mlp, patch, in_ch)
+    return 1.0 / (proj / (INT8_TOPS * 1e3) + rest / (PEAK_TFS * 1e3))
 
 
 def families():
@@ -55,10 +76,13 @@ def families():
     for name in ("ViT-B/16", "ViT-L/14"):
         c = CLIP_CONFIGS[name]
         s = c.grid_size ** 2 + 1
-        rows.append((f"CLIP {name}", dict(
-            k=c.vision_width, heads=c.vision_heads,
-            layers=c.vision_layers, s=s, mlp=4 * c.vision_width,
-            patch=c.vision_patch_size), ("clip", name)))
+        shape = dict(k=c.vision_width, heads=c.vision_heads,
+                     layers=c.vision_layers, s=s, mlp=4 * c.vision_width,
+                     patch=c.vision_patch_size)
+        rows.append((f"CLIP {name}", shape, ("clip", name)))
+        if name == "ViT-B/16":
+            rows.append((f"CLIP {name} int8 (W8A8)", dict(shape, int8=True),
+                         ("clip_q8", name)))
     for name in ("vit_base_patch14_dinov2.lvd142m",
                  "vit_large_patch14_dinov2.lvd142m",
                  "vit_base_patch8_224_dino"):
@@ -77,8 +101,9 @@ def measure(kind, name, batch):
 
     import bench
 
-    if kind == "clip":
-        model = bench.build_clip(name, dtype=jnp.bfloat16)
+    if kind in ("clip", "clip_q8"):
+        model = bench.build_clip(name, dtype=jnp.bfloat16,
+                                 quant="int8" if kind == "clip_q8" else "none")
         variables = bench.init_on_cpu(lambda: model.init(
             jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
             jnp.zeros((1, 77), jnp.int32)))
@@ -106,8 +131,10 @@ def main():
     print(f"{'family':38s} {'GF/img':>8s} {'SOL img/s':>10s} "
           f"{'measured':>9s} {'fraction':>9s}", flush=True)
     for label, shape, (kind, name) in families():
+        shape = dict(shape)
+        is_int8 = shape.pop("int8", False)
         gf = vit_gflop_per_img(**shape)
-        sol = PEAK_TFS * 1e3 / gf
+        sol = vit_int8_sol(**shape) if is_int8 else PEAK_TFS * 1e3 / gf
         if do_measure:
             rate = measure(kind, name, batch)
             frac = f"{rate / sol:8.1%}"
