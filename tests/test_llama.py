@@ -264,3 +264,27 @@ def test_int8w_tp_sharded_matches_unsharded():
         tp = jax.jit(pooled)(sharded, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(base), np.asarray(tp),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_textmodel_int8w_close_to_float(tmp_path):
+    """TextModel(quant='int8_w') loads the native backend with quantized
+    projections (the --quant int8 features-CLI path for llama-family
+    LMs) and pools within ~1e-3 cosine of the float native backend."""
+    pytest.importorskip("torch")
+
+    d = str(tmp_path / "tiny-llama")
+    _save_tiny_llama(d)
+
+    from uml_tpu.models.languagemodel import TextModel
+
+    texts = ["a photo of cat", "the dog", "a photo of the dog"]
+    base = TextModel(d, backend="native")
+    f, _ = base.encode(texts)
+    q8 = TextModel(d, backend="native", quant="int8_w")
+    assert q8.backend == "native"
+    qp = q8._params["params"]["layers_0"]["q_proj"]
+    assert "kernel_q8" in qp and qp["kernel_q8"].dtype == jnp.int8
+    q, _ = q8.encode(texts)
+    cos = np.sum(f * q, -1) / (np.linalg.norm(f, axis=-1)
+                               * np.linalg.norm(q, axis=-1))
+    assert np.min(cos) > 0.995
