@@ -207,7 +207,10 @@ FAMILY_BUILDERS = {
 # line runs in its own subprocess under this timeout so a stall costs
 # that line (an "error: timeout" string), never the whole bench JSON
 FAMILY_TIMEOUT_S = int(os.environ.get("UML_FAMILY_TIMEOUT_S", 420))
-FAMILY_BUDGET_S = int(os.environ.get("UML_FAMILY_BUDGET_S", 1200))
+# 1600 s: the int8 line added a 7th family; two worst-case relay
+# compile stalls (2 x 420 s) must still leave room for the five
+# historical lines (~90 s each warm)
+FAMILY_BUDGET_S = int(os.environ.get("UML_FAMILY_BUDGET_S", 1600))
 
 
 def run_probe():

@@ -59,12 +59,16 @@ def raw_dot(n=2048, k=768, m=3072, dtype=jnp.bfloat16, acc=jnp.float32):
 
     @jax.jit
     def run(x, w):
+        # single-block program: x(3) + w(4.5) + out(25.2 fp32) MB exceeds
+        # Mosaic's 16 MB scoped default -> explicit raise (v5e: 128 MB)
         return pl.pallas_call(
             _dot_kernel,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, m), acc),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2**20),
         )(x, w)
 
     dt = timeit(run, x, w)

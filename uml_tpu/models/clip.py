@@ -174,6 +174,13 @@ class ResidualAttentionBlock(nn.Module):
             # feeds the fp32 ln_post/proj epilogue directly).
             from uml_tpu.ops.quant import ln_attn_block_q8, ln_mlp_block_q8
 
+            # honor an explicit 'reference' request on either impl knob
+            # (e.g. dryrun_multichip's mesh-sharded jit, where an
+            # un-sharding-ruled pallas_call must not engage): the q8 ops
+            # then run their simulated-int8 jnp twins
+            q8_impl = ("reference"
+                       if "reference" in (self.attn_impl, self.ln_matmul_impl)
+                       else "auto")
             ln1_scale, ln1_bias = FP32LayerNorm(name="ln_1")(
                 x, return_params=True)
             qkv_kernel, qkv_bias = _DenseKernelBias(
@@ -183,7 +190,7 @@ class ResidualAttentionBlock(nn.Module):
             x = ln_attn_block_q8(
                 x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
                 out_kernel.astype(self.dtype), out_bias, heads=h,
-                causal=causal)
+                causal=causal, impl=q8_impl)
             ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
                 x, return_params=True)
             fc_kernel, fc_bias = _DenseKernelBias(
@@ -193,7 +200,7 @@ class ResidualAttentionBlock(nn.Module):
             return ln_mlp_block_q8(
                 x, ln2_scale, ln2_bias, fc_kernel, fc_bias,
                 proj_kernel.astype(self.dtype), proj_bias,
-                activation="quick_gelu")
+                activation="quick_gelu", impl=q8_impl)
 
         # pre-LN fused into the QKV matmul (ops.ln_matmul / the full
         # ops.fused_attention chain): one HBM read of the residual stream

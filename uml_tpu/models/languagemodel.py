@@ -15,6 +15,7 @@ environments must have the model in the local HF cache
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -91,11 +92,19 @@ class TextModel:
         cfg = LlamaConfig.from_hf(hf_cfg)
         hf = AutoModel.from_pretrained(self.model_name)
         self.model = LlamaEncoder(cfg, dtype=self.dtype, quant=self.quant)
-        self._params = port_hf_llama(hf.state_dict(), cfg, dtype=self.dtype)
-        if self.quant == "int8_w":
-            from uml_tpu.models.llama import quantize_llama_params
+        # Port (and for int8_w, quantize) HOST-SIDE: jnp.asarray on the
+        # TPU default device would materialize the full float tree in
+        # HBM first — for OpenLLaMA-13B that is ~26 GB bf16 on a 16 GB
+        # chip, OOMing before quantization could halve it.  Only the
+        # final (possibly int8) tree is transferred, synced (staged_put:
+        # a lazy first-dispatch transfer rides the relay's slow path).
+        with jax.default_device(jax.devices("cpu")[0]):
+            self._params = port_hf_llama(hf.state_dict(), cfg,
+                                         dtype=self.dtype)
+            if self.quant == "int8_w":
+                from uml_tpu.models.llama import quantize_llama_params
 
-            self._params = quantize_llama_params(self._params)
+                self._params = quantize_llama_params(self._params)
         del hf
         self._config = hf_cfg
         if self.mesh is not None:
@@ -103,6 +112,10 @@ class TextModel:
 
             self._params = apply_tp_sharding(self._params, self.mesh,
                                              rules=LLAMA_TP_RULES)
+        else:
+            from uml_tpu.core.meshes import staged_put
+
+            self._params = staged_put(self._params)
 
     def _load_model(self, backend: str) -> str:
         if backend in ("auto", "native") and self._is_llama_family():
