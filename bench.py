@@ -24,6 +24,11 @@ Extras:
     fidelity vs bf16 is cosine >0.999 (tests/test_quant.py)
   * ``train_full_finetune_img_per_s``: full-model finetune step at bs128
     (fwd+bwd+adamw through the tower, finetune.py:120-288 semantics)
+  * ``train_full_finetune_bs512_img_per_s``: the same step at bs512 —
+    the bs128 number is pipeline-fill/drain-bound (~70% of its FLOP
+    floor with both backward kernels AT their floors); this line shows
+    the same kernels at a composition-friendly batch (~87-91%), i.e.
+    what a larger-than-reference production run gets
   * ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
     JPEGs — threaded host decode (native libjpeg) -> threaded uint8
     host->device transfer (double-buffered) -> jitted forward -> per-
@@ -385,10 +390,17 @@ def pipeline_bench(extract_sum, variables):
     }
 
 
-def train_bench(model, variables, u8):
+def train_bench(model, variables, u8_batches):
     """Full-model finetune step (fwd+bwd+adamw through the ViT tower) —
     the reference's flagship training path (finetune.py:120-288 with
-    full_ds_full_model_finetune, 64-image batches; bs128 here).
+    full_ds_full_model_finetune, 64-image batches; bs128 is the primary
+    line, bs512 the composition-friendly extra).
+
+    ``u8_batches``: list of staged uint8 inputs; one rate per entry.
+    The step donates params+opt (like the real train loop), which
+    invalidates the donated buffers — so both batch sizes run inside
+    ONE call, threading the evolving params through, and ``variables``'
+    visual tree must not be used in-process afterwards.
 
     The optimizer covers the image tower + classifier head ONLY — the
     reference's actual finetune surface (finetune.py:337-346 builds
@@ -396,11 +408,11 @@ def train_bench(model, variables, u8):
     features and the text transformer is never trained).  Grads/adamw
     over the unused text tower cost a measured +4 ms/step
     (tools/exp_step_variants.py: 119.4 -> 115.3 ms)."""
+    import functools
+
     import optax
 
-    b = u8.shape[0]
     rng = np.random.default_rng(0)
-    labels = jnp.asarray(rng.integers(0, 100, (b,)), jnp.int32)
     head = jnp.asarray(rng.standard_normal((512, 100)) * 0.01, jnp.float32)
     frozen = {k: v for k, v in variables["params"].items() if k != "visual"}
     params = {"visual": variables["params"]["visual"], "head": head}
@@ -414,8 +426,6 @@ def train_bench(model, variables, u8):
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
 
-    import functools
-
     # donate params+opt state like the real train loop (train/supervised
     # step donates): avoids fresh allocations + copies every step
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -424,17 +434,23 @@ def train_bench(model, variables, u8):
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    p, o, l = step(params, opt, u8, labels)
-    float(l)  # compile + sync
+    p, o = params, opt
     iters = 5
-    rates = []
-    for _ in range(RUNS):
-        t0 = time.time()
-        for _ in range(iters):
-            p, o, l = step(p, o, u8, labels)
-        float(l)
-        rates.append(b * iters / (time.time() - t0))
-    return median(rates)
+    out = []
+    for u8 in u8_batches:
+        b = u8.shape[0]
+        labels = jnp.asarray(rng.integers(0, 100, (b,)), jnp.int32)
+        p, o, l = step(p, o, u8, labels)
+        float(l)  # compile + sync
+        rates = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            for _ in range(iters):
+                p, o, l = step(p, o, u8, labels)
+            float(l)
+            rates.append(b * iters / (time.time() - t0))
+        out.append(median(rates))
+    return out
 
 
 def main():
@@ -466,10 +482,15 @@ def main():
     # setup, and the family towers run in their own subprocesses after
     headline_imgs = stage_input(BATCH, 224 * 224 * 3)
     train_u8 = stage_input(128, 224 * 224 * 3)
+    train_u8_512 = stage_input(512, 224 * 224 * 3)
 
     pipe = pipeline_bench(extract_pipe, variables)
     img_per_s = device_bench(extract_sum, variables, headline_imgs)
-    train_rate = train_bench(model, variables, train_u8)
+    # ONE call for both batch sizes: the step donates the param buffers
+    # (which alias ``variables``), so a second call would see deleted
+    # arrays; family towers run in subprocesses and are unaffected
+    train_rate, train_rate_512 = train_bench(
+        model, variables, [train_u8, train_u8_512])
     families = {} if SKIP_FAMILIES else family_bench()
 
     speed_of_light = PEAK_TFLOPS * 1e3 / EXTRACTION_GFLOP_PER_IMG
@@ -487,6 +508,7 @@ def main():
             "v5e chip, so the headline runs within ~13% of the hardware's "
             "physical limit for this model"),
         "train_full_finetune_img_per_s": round(train_rate, 1),
+        "train_full_finetune_bs512_img_per_s": round(train_rate_512, 1),
         **families,
     }
     if pipe is not None:

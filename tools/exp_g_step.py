@@ -28,7 +28,7 @@ def main():
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32)))
     u8 = bench.stage_input(128, 224 * 224 * 3)
-    rate = bench.train_bench(model, variables, u8)
+    rate = bench.train_bench(model, variables, [u8])[0]
     print(f"KERNEL_G={os.environ.get('UML_KERNEL_G', '4')} "
           f"BWD_G={os.environ.get('UML_BWD_G', '1')}: "
           f"{rate:.1f} img/s ({128 / rate * 1e3:.2f} ms)", flush=True)

@@ -148,7 +148,7 @@ def main():
     gf_step = (gf_fwd + 11 * (gf_attn_bwd + gf_mlp_bwd)
                + gf_mlp_bwd * 8 / S + gf_cls_bwd + gf_patch_bwd)
     u8t = bench.stage_input(bt, 224 * 224 * 3)
-    rate = bench.train_bench(model, variables, u8t)
+    rate = bench.train_bench(model, variables, [u8t])[0]
     row(f"train step bs{bt} (fwd+bwd+adamw)", bt / rate * 1e3, gf_step)
     print(f"train throughput: {rate:.1f} img/s   speed-of-light: "
           f"{bt / (gf_step / PEAK_TFS) * 1e3:.0f} img/s", flush=True)
