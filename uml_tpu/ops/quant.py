@@ -29,7 +29,12 @@ Inference-only by design: the backward of a quantized op is the float
 op's backward in any straight-through scheme, so training paths keep the
 bf16 kernels (which have hand-written Pallas backwards).  The reference
 has no quantized path at all (fp16 CUDA via torch, engine/clip/model.py:
-381-402); this module is net-new serving capability.
+381-402); this module is net-new serving capability.  Scheme background:
+post-training W8A8 with dynamic activation quantization is the standard
+low-risk recipe for ViTs (see "Model Quantization and Hardware
+Acceleration for Vision Transformers: A Comprehensive Survey",
+arXiv:2405.00314 — PAPERS.md); per-row/per-channel symmetric scales are
+the outlier-robust variant of it.
 """
 
 from __future__ import annotations
