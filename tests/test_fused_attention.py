@@ -143,6 +143,26 @@ def test_block_kernel_dino_l_shape():
                                atol=2e-4, rtol=2e-4)
 
 
+def test_block_kernel_slab_matches_reference(monkeypatch):
+    """UML_ATTN_SLAB=1 (QKV projection as one [G*S, K] dot) must be
+    numerically equivalent to the per-image path.  The env var is read at
+    trace time inside _block_fwd, so a shape no other test uses forces a
+    fresh trace under the patched environment."""
+    monkeypatch.setenv("UML_ATTN_SLAB", "1")
+    rng = np.random.default_rng(11)
+    heads, d, s = 2, 64, 21   # s=21 is unique to this test -> retrace
+    x, scale, bias, kernel, kbias = _setup(rng, s=s, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    got = _block_fwd(x, w_eff, b_eff, wo, bo, 1e-5, heads, d, False, True)
+    want = ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                   heads=heads, causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)
+
+
 def test_block_cls_kernel_matches_reference():
     """CLS-only final block: first CLS_ROWS rows equal the full block's."""
     from uml_tpu.ops.fused_attention import CLS_ROWS, _block_cls_fwd
