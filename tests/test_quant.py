@@ -171,6 +171,34 @@ def test_dino_int8_feature_fidelity():
     assert _cos(q, f) > 0.995
 
 
+def test_q8_noslab_matches_slab(monkeypatch):
+    """UML_Q8_SLAB=0 (per-image int8 dots, the A/B fallback) must produce
+    bit-identical outputs to the default slab path: the slab only batches
+    rows through the same int dot, so quantize -> dot -> dequant is
+    row-for-row the same math.  Env is read at trace time, so the jit
+    caches are cleared between variants."""
+    rng = np.random.default_rng(5)
+    x, scale, bias, w, kb, wo, bo = _attn_setup(rng, b=4, s=28)
+    w1 = jnp.asarray(rng.standard_normal((256, 1024)) * 256**-0.5,
+                     jnp.float32)
+    b1 = jnp.asarray(0.02 * rng.standard_normal(1024), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((1024, 256)) * 1024**-0.5,
+                     jnp.bfloat16)
+    b2 = jnp.asarray(0.02 * rng.standard_normal(256), jnp.float32)
+
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("UML_Q8_SLAB", flag)
+        jax.clear_caches()
+        attn = ln_attn_block_q8(x, scale, bias, w, kb, wo, bo, heads=4,
+                                impl="pallas")
+        mlp = ln_mlp_block_q8(x, scale, bias, w1, b1, w2, b2,
+                              activation="quick_gelu", impl="pallas")
+        outs[flag] = (np.asarray(attn), np.asarray(mlp))
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+
+
 def test_clip_encoder_quant_api():
     """ClipEncoder(quant='int8') runs the extraction API end to end."""
     from uml_tpu.models.encoders import ClipEncoder
