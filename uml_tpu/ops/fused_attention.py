@@ -234,10 +234,15 @@ def _block_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
     independent images per program gives the VLIW scheduler parallel
     chains, overlapping one image's VPU softmax with another's MXU dots.
 
-    ``slab`` (UML_ATTN_SLAB=1, default off pending an on-device A/B):
+    ``slab`` (UML_ATTN_SLAB=1, default off — measured a LOSS on-device):
     run the QKV projection as one [G*S, K] dot — amortizes the bf16
     8-sublane pad (197 -> 200 rows, 1.5%) the way the MLP kernel's
-    full-G slab measured +0.5%; attention/out-proj stay per-image."""
+    full-G slab measured +0.5%; attention/out-proj stay per-image.
+    Same-window A/B on the v5e chip (tools/exp_attn_slab.py, bs2048):
+    slab/base 0.9919 with drift control 0.9958 — the reshape between
+    the slab dot and the per-image attention loop costs more than the
+    pad it saves (unlike the MLP kernel, whose whole body is slabbed),
+    so the per-image layout stays the default."""
     g, s, k = x_ref.shape
     if slab:
         xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
