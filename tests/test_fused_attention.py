@@ -163,6 +163,28 @@ def test_block_kernel_slab_matches_reference(monkeypatch):
                                atol=5e-4, rtol=5e-4)
 
 
+def test_block_kernel_packed_matches_reference(monkeypatch):
+    """UML_ATTN_PACKED=1 (one [Sq,128]x[128,2S] score dot per head pair,
+    both heads' keys side by side in the lane dim) must be numerically
+    equivalent to the two-dot-per-pair path.  Trace-time env var: a shape
+    no other test uses forces a fresh trace (s=23), and a 4-head case
+    checks pair iteration under packing."""
+    monkeypatch.setenv("UML_ATTN_PACKED", "1")
+    rng = np.random.default_rng(12)
+    for heads, s in ((2, 23), (4, 23)):
+        d = 64
+        x, scale, bias, kernel, kbias = _setup(rng, s=s, heads=heads, d=d)
+        wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                         / np.sqrt(heads * d), jnp.float32)
+        bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+        w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+        got = _block_fwd(x, w_eff, b_eff, wo, bo, 1e-5, heads, d, False, True)
+        want = ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo,
+                                       heads=heads, causal=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_block_cls_kernel_matches_reference():
     """CLS-only final block: first CLS_ROWS rows equal the full block's."""
     from uml_tpu.ops.fused_attention import CLS_ROWS, _block_cls_fwd

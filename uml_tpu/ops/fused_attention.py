@@ -46,11 +46,18 @@ PAIR_W = 128  # two D=64 heads per 128-lane tile
 VMEM_CEILING = 96 * 2**20  # leave headroom of v5e's 128 MB/core for XLA
 
 
+def _packed_enabled():
+    """Packed-keys score layout (see _pair_attention_split).  Default off
+    pending the on-device A/B; UML_ATTN_PACKED=1 enables (non-causal)."""
+    return os.environ.get("UML_ATTN_PACKED", "0") == "1"
+
+
 def fused_block_vmem_bytes(k, heads, head_dim, seq_len, itemsize=2,
                            with_proj=False, g=1):
     """Estimated VMEM need of the attention half-block kernel: resident
     weights + double-buffered in/out tiles for G entries + the per-pair
-    score temporaries ([S, S] fp32 + bf16)."""
+    score temporaries ([S, S] fp32 + bf16; the packed-keys layout holds
+    [S, 2S] instead)."""
     w = k * 3 * heads * head_dim * itemsize
     if with_proj:
         w += heads * head_dim * k * itemsize
@@ -58,6 +65,8 @@ def fused_block_vmem_bytes(k, heads, head_dim, seq_len, itemsize=2,
                       + 3 * heads * head_dim * (4 + itemsize)
                       + heads * head_dim * itemsize)
     scores = seq_len * seq_len * (4 + itemsize)
+    if _packed_enabled():
+        scores *= 2
     return w + 2 * g * tile + scores
 
 
@@ -163,6 +172,24 @@ def _pair_attention_split(q_arr, q_off, k_arr, k_off, v_arr, v_off, *,
     q-bias rides the per-mask scale multiply as an FMA, and the v-bias is
     added once to the normalized output (softmax weights sum to 1, so
     w @ (v + bv) == w @ v + bv).
+
+    Packed-keys layout (UML_ATTN_PACKED, non-causal only): instead of two
+    [Sq,128]x[128,S] dots per pair (one per head, the other head's lanes
+    zeroed in q), build K_packed = [k2*m0; k2*m1] (shape [2S, 128]) and
+    compute ONE [Sq,128]x[128,2S] dot — head a's scores land in key
+    columns 0..S-1, head b's in S..2S-1, and the zeroed cross-head d-rows
+    of K_packed kill the cross terms exactly (so q needs NO half mask).
+    The win is lane padding on the score/softmax tensor: Mosaic pads the
+    lane dim to 128, so per pair the old layout pays 2*pad128(S) lanes
+    while packed pays pad128(2S) — for S=257 towers (DINOv2 B/14 & L/14,
+    CLIP L/14) that is 768 -> 640 lanes (-17% score MXU + exp2 VPU); for
+    S=197 both pad to 512 (neutral, but half the dot count); for S=785,
+    1792 -> 1664.  A@V packs the values the same way ([2S,128] with
+    complementary halves zeroed), contraction over 2S, and the per-head
+    1/l normalization rides one masked FMA.  Numerics: identical score
+    values, identical exp2, per-head row sums over the same S terms, and
+    the AV contraction only adds exact zeros — same math as the unpacked
+    path modulo fp32 accumulation order.
     """
     sq = q_arr.shape[0]
     s = k_arr.shape[0]
@@ -179,6 +206,10 @@ def _pair_attention_split(q_arr, q_off, k_arr, k_off, v_arr, v_off, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
     half_masks = ((lane < head_dim).astype(jnp.float32),
                   (lane >= head_dim).astype(jnp.float32))
+    packed = _packed_enabled() and not causal
+    if packed:
+        key_lane = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * s), 1)
+        key_half = (key_lane < s, key_lane >= s)
     out_cols = []
     for p in range(heads // 2):
         q2 = q_arr[:, q_off + p * PAIR_W: q_off + (p + 1) * PAIR_W]
@@ -188,6 +219,38 @@ def _pair_attention_split(q_arr, q_off, k_arr, k_off, v_arr, v_off, *,
             bq2 = b_eff[p * PAIR_W:(p + 1) * PAIR_W].astype(jnp.float32)
             bv2 = b_eff[2 * hp + p * PAIR_W:
                         2 * hp + (p + 1) * PAIR_W].astype(jnp.float32)
+        if packed:
+            # scale (and q-bias) applied to the full pair row — the zeroed
+            # cross-head d-rows of K_packed make a q half-mask unnecessary
+            sc_b = jnp.asarray(scale, jnp.float32).astype(dot_dtype)
+            if b_eff is None:
+                qm = q2 * sc_b
+            else:
+                qm = q2 * sc_b + (bq2[None, :] * scale).astype(dot_dtype)
+            kp = jnp.concatenate(
+                [k2 * half_masks[0].astype(dot_dtype),
+                 k2 * half_masks[1].astype(dot_dtype)], axis=0)  # [2S, 128]
+            sc = jax.lax.dot_general(
+                qm, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [Sq, 2S]
+            e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP)).astype(dot_dtype)
+            zero = jnp.zeros((), dot_dtype)
+            l_a = jnp.maximum(jnp.sum(
+                jnp.where(key_half[0], e, zero), axis=-1, keepdims=True,
+                dtype=jnp.float32), 1e-30)
+            l_b = jnp.maximum(jnp.sum(
+                jnp.where(key_half[1], e, zero), axis=-1, keepdims=True,
+                dtype=jnp.float32), 1e-30)
+            vp = jnp.concatenate(
+                [v2 * half_masks[0].astype(dot_dtype),
+                 v2 * half_masks[1].astype(dot_dtype)], axis=0)  # [2S, 128]
+            av = jnp.dot(e, vp, preferred_element_type=jnp.float32)
+            inv = half_masks[0] * (1.0 / l_a) + half_masks[1] * (1.0 / l_b)
+            acc = av * inv                                       # [Sq, 128]
+            if b_eff is not None:
+                acc = acc + bv2[None, :]
+            out_cols.append(acc)
+            continue
         acc = jnp.zeros((sq, PAIR_W), jnp.float32)
         for m in half_masks:
             ms = (m * scale).astype(dot_dtype)

@@ -47,7 +47,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from uml_tpu.ops.fused_attention import (VMEM_CEILING, _group_and_params,
-                                         _pair_attention, fold_ln_into_matmul)
+                                         _packed_enabled, _pair_attention,
+                                         fold_ln_into_matmul)
 from uml_tpu.ops.ln_matmul import _KERNEL_ACTIVATIONS
 
 INT8_MAX = 127.0
@@ -175,6 +176,8 @@ def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1, slab=False):
     temps = rows * (4 * k + k + 4 * 3 * hd + 2 * 3 * hd)
     temps += seq_len * (4 * hd + hd)          # per-image attn/out-proj rows
     scores = seq_len * seq_len * (4 + 2)
+    if _packed_enabled():                     # [S, 2S] packed-keys scores
+        scores *= 2
     return w + 2 * g * tile + temps + scores
 
 
