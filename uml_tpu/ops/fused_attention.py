@@ -47,8 +47,16 @@ VMEM_CEILING = 96 * 2**20  # leave headroom of v5e's 128 MB/core for XLA
 
 
 def _packed_enabled():
-    """Packed-keys score layout (see _pair_attention_split).  Default off
-    pending the on-device A/B; UML_ATTN_PACKED=1 enables (non-causal)."""
+    """Packed-keys score layout (see _pair_attention_split).  Default OFF
+    by measurement: the on-device A/B (tools/exp_attn_packed.py, composed
+    bs2048 extraction forwards, same relay window, drift control <0.3%)
+    measured packed/unpacked = 1.0036 (DINOv2 B/14), 1.0034 (L/14),
+    0.9859 (ViT-B/16) — the predicted -17% score-lane saving on S=257
+    towers is real but scores are too small a slice of those forwards to
+    matter, and on S=197 the layout is lane-neutral yet times 1.4% slower
+    (likely the [S,2S] temporary's worse VMEM locality).  Kept as an
+    opt-in (UML_ATTN_PACKED=1, non-causal) for future shapes where the
+    score/projection ratio is higher."""
     return os.environ.get("UML_ATTN_PACKED", "0") == "1"
 
 
