@@ -212,3 +212,39 @@ def test_clip_encoder_quant_api():
     txt, eot = enc.encode_texts(["a photo of a cat.", "a photo of a dog."])
     assert txt.shape == (2, 512)
     assert np.all(np.isfinite(txt))
+
+def test_clip_mixed_quant_modes():
+    """quant='int8_mlp'/'int8_attn' (one half-block family W8A8, the
+    other bf16 — tools/exp_q8_mix.py's mixed serving modes) produce
+    features at least as close to bf16 as the full int8 mode, since they
+    quantize a strict subset of its projections."""
+    from uml_tpu.models.clip import CLIP, ClipConfig
+
+    cfg = ClipConfig(64, 32, 3, 128, 8, context_length=16, vocab_size=64,
+                     transformer_width=128, transformer_heads=2,
+                     transformer_layers=2)
+    rng = np.random.default_rng(7)
+    px = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+    m_f = CLIP(cfg, dtype=jnp.bfloat16)
+    v = m_f.init(jax.random.key(0), px,
+                 jnp.asarray(rng.integers(1, 63, (4, 16)), jnp.int32))
+    f = m_f.apply(v, px, method=lambda m, p: m.encode_image(p))
+
+    def cos_for(quant):
+        m = CLIP(cfg, dtype=jnp.bfloat16, quant=quant)
+        q = m.apply(v, px, method=lambda m_, p: m_.encode_image(p))
+        assert q.shape == f.shape
+        return _cos(q, f)
+
+    full = cos_for("int8")
+    for mode in ("int8_mlp", "int8_attn"):
+        c = cos_for(mode)
+        assert c > 0.995
+        assert c >= full - 1e-3, (mode, c, full)
+
+
+def test_build_clip_rejects_unknown_quant():
+    from uml_tpu.models.clip import build_clip
+
+    with pytest.raises(ValueError, match="quant"):
+        build_clip("ViT-B/16", quant="int4")

@@ -166,8 +166,13 @@ class ResidualAttentionBlock(nn.Module):
         h = self.heads
         d = self.width // h
 
-        if self.quant == "int8" and not cls_only:
-            # W8A8 serving path (ops.quant): int8 MXU dots for the four
+        # which half-blocks run W8A8 (ops.quant): 'int8' quantizes both,
+        # 'int8_mlp'/'int8_attn' one half (the mixed modes exist because
+        # the two halves profit very differently — see tools/exp_q8_mix.py)
+        q8_halves = {"int8": ("attn", "mlp"), "int8_mlp": ("mlp",),
+                     "int8_attn": ("attn",), "none": ()}[self.quant]
+        if q8_halves and not cls_only:
+            # W8A8 serving path (ops.quant): int8 MXU dots for the
             # projection matmuls, per-row dynamic activation scales,
             # attention math identical to the bf16 kernels.  The final
             # cls_only block stays bf16 (it is ~1/layers of the work and
@@ -187,20 +192,35 @@ class ResidualAttentionBlock(nn.Module):
                 self.width, 3 * self.width, name="qkv")()
             out_kernel, out_bias = _DenseKernelBias(
                 self.width, self.width, name="out_proj")()
-            x = ln_attn_block_q8(
-                x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
-                out_kernel.astype(self.dtype), out_bias, heads=h,
-                causal=causal, impl=q8_impl)
+            if "attn" in q8_halves:
+                x = ln_attn_block_q8(
+                    x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
+                    out_kernel.astype(self.dtype), out_bias, heads=h,
+                    causal=causal, impl=q8_impl)
+            else:
+                x = ln_attn_block(
+                    x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
+                    qkv_bias, out_kernel.astype(self.dtype), out_bias,
+                    heads=h, causal=causal,
+                    impl=q8_impl if q8_impl == "reference" else
+                    self.ln_matmul_impl)
             ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
                 x, return_params=True)
             fc_kernel, fc_bias = _DenseKernelBias(
                 self.width, 4 * self.width, name="c_fc")()
             proj_kernel, proj_bias = _DenseKernelBias(
                 4 * self.width, self.width, name="c_proj")()
-            return ln_mlp_block_q8(
-                x, ln2_scale, ln2_bias, fc_kernel, fc_bias,
+            if "mlp" in q8_halves:
+                return ln_mlp_block_q8(
+                    x, ln2_scale, ln2_bias, fc_kernel, fc_bias,
+                    proj_kernel.astype(self.dtype), proj_bias,
+                    activation="quick_gelu", impl=q8_impl)
+            return ln_mlp_block(
+                x, ln2_scale, ln2_bias, fc_kernel.astype(self.dtype), fc_bias,
                 proj_kernel.astype(self.dtype), proj_bias,
-                activation="quick_gelu", impl=q8_impl)
+                activation="quick_gelu",
+                impl=q8_impl if q8_impl == "reference" else
+                self.ln_matmul_impl)
 
         # pre-LN fused into the QKV matmul (ops.ln_matmul / the full
         # ops.fused_attention chain): one HBM read of the residual stream
@@ -529,7 +549,9 @@ def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
                ln_matmul_impl: str = "auto", quant: str = "none"):
     """``quant='int8'``: W8A8 serving mode for the transformer towers
     (ops.quant) — inference-only, ViT/text transformers only (the RN
-    towers are conv-profile and stay bf16)."""
+    towers are conv-profile and stay bf16).  ``'int8_mlp'``/
+    ``'int8_attn'`` quantize only that half-block family (the mixed
+    modes measured in tools/exp_q8_mix.py)."""
     if name in ("RN50", "RN101"):
         from uml_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
 
@@ -542,5 +564,8 @@ def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
                                ln_matmul_impl=ln_matmul_impl)
     if name not in CLIP_CONFIGS:
         raise ValueError(f"Unknown CLIP encoder {name!r}; have {list(CLIP_CONFIGS)}")
+    if quant not in ("none", "int8", "int8_mlp", "int8_attn"):
+        raise ValueError(f"Unknown quant mode {quant!r}; have "
+                         "none/int8/int8_mlp/int8_attn")
     return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl,
                 ln_matmul_impl=ln_matmul_impl, quant=quant)

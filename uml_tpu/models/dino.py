@@ -339,7 +339,10 @@ def port_dinov2_state_dict(sd, config: DinoConfig) -> dict:
 def load_dino(name: str, dtype=jnp.bfloat16, allow_random_init=False,
               quant: str = "none"):
     """-> (DinoViT, variables). Loads HF weights from the local cache.
-    ``quant='int8'``: W8A8 serving mode for the transformer blocks."""
+    ``quant='int8'``: W8A8 serving mode for the transformer blocks (the
+    CLIP-only mixed modes int8_mlp/int8_attn are not supported here)."""
+    if quant not in ("none", "int8"):
+        raise ValueError(f"Unknown DINO quant mode {quant!r}; have none/int8")
     cfg, repo = DINO_CONFIGS[name]
     model = DinoViT(cfg, dtype=dtype, quant=quant)
     try:
