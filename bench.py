@@ -34,11 +34,13 @@ Extras:
     fidelity vs bf16 is cosine >0.999 (tests/test_quant.py)
   * ``train_full_finetune_img_per_s``: full-model finetune step at bs128
     (fwd+bwd+adamw through the tower, finetune.py:120-288 semantics)
-  * ``train_full_finetune_bs512_img_per_s``: the same step at bs512 —
-    the bs128 number is pipeline-fill/drain-bound (~70% of its FLOP
-    floor with both backward kernels AT their floors); this line shows
-    the same kernels at a composition-friendly batch (~87-91%), i.e.
-    what a larger-than-reference production run gets
+  * ``train_full_finetune_bs512_img_per_s``: the same step at bs512.
+    Measured (tools/exp_train_bs512.py): the FORWARD scales with batch
+    (4176 -> 4739 img/s from bs128 to bs512) but the BACKWARD is
+    batch-invariant (~1520-1540 img/s at both sizes — already at its
+    steady-state composition efficiency at bs128), so the full step is
+    flat across batch (~1115 vs ~1118) and the backward bounds it at
+    ~1350 img/s even with a perfect forward
   * ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
     JPEGs — threaded host decode (native libjpeg) -> threaded uint8
     host->device transfer (double-buffered) -> jitted forward -> per-
