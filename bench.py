@@ -285,7 +285,15 @@ def family_bench():
 
     out = {}
     deadline = time.time() + FAMILY_BUDGET_S
-    for key in FAMILY_BUILDERS:
+    # the int8 line is the serving-headline candidate (see main): give it
+    # one retry if its first subprocess hits a relay stall — a stalled
+    # survey line costs a survey line, a stalled headline costs the round
+    keys = list(FAMILY_BUILDERS)
+    retried = False
+    i = 0
+    while i < len(keys):
+        key = keys[i]
+        i += 1
         if time.time() > deadline:
             out[key] = "skipped: family budget exhausted"
             continue
@@ -305,6 +313,11 @@ def family_bench():
             out[key] = "error: timeout (relay compile stall)"
         except Exception as e:
             out[key] = f"error: {type(e).__name__}: {e}"[:120]
+        if (key == "extract_int8_vitb16_img_per_s" and not retried
+                and not isinstance(out[key], float)
+                and time.time() < deadline):
+            retried = True
+            i -= 1  # run the headline candidate once more
     return out
 
 
