@@ -206,3 +206,37 @@ def test_kernel_gelu_exact_accuracy():
         np.asarray(x[-1:]), rtol=1e-6)
     grad_ref = jax.vmap(jax.grad(_ACTIVATIONS["gelu_exact"]))(x)
     assert float(jnp.abs(_act_grad(x, "gelu_exact") - grad_ref).max()) < 1e-4
+
+@pytest.mark.parametrize("grp", ["1", "2"])
+def test_mlp_bwd_dw_kernel_matches_reference_vjp(grp, monkeypatch):
+    """In-kernel-accumulated-dW backward (UML_MLP_BWD=dw, measured
+    slower on v5e but kept as the A/B record — tools/exp_bwd_dw.py)
+    vs jax.vjp of the jnp twin, grouped and ungrouped."""
+    from uml_tpu.ops.ln_matmul import (_mlp_bwd_dw_call,
+                                       _raw_mlp_block_reference)
+
+    monkeypatch.setenv("UML_MLP_BWD_G", grp)
+    jax.clear_caches()
+    rng = np.random.default_rng(13)
+    bsz, s, k, m = 4, 9, 128, 256
+    x = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((k, m)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((m, k)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.float32)
+
+    dx, dw1, db1, dw2 = _mlp_bwd_dw_call(x, g, b1, w1, w2, 1e-5,
+                                         "quick_gelu", True)
+    got = {"dx": dx, "dw1": dw1, "db1": db1, "dw2": dw2,
+           "db2": jnp.sum(g, axis=(0, 1))}
+    _, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2: _raw_mlp_block_reference(
+            x, w1, b1, w2, b2, eps=1e-5, activation="quick_gelu"),
+        x, w1, b1, w2, b2)
+    want = dict(zip(("dx", "dw1", "db1", "dw2", "db2"), vjp(g)))
+    for name in got:
+        ref = np.asarray(want[name])
+        sc = np.abs(ref).max() + 1e-9
+        np.testing.assert_allclose(np.asarray(got[name]) / sc, ref / sc,
+                                   atol=2e-5, rtol=2e-5, err_msg=name)

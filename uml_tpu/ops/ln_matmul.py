@@ -282,6 +282,135 @@ def _mlp_bwd_via_kernel(x, g, w1, b1, w2, b2, eps, activation):
             dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
+def _mlp_bwd_dw_kernel(x_ref, g_ref, b1_ref, w1_ref, w2_ref,
+                       dx_ref, dw1_ref, db1_ref, dw2_ref, *,
+                       eps, activation):
+    """In-kernel-accumulated-dW backward of the MLP half-block
+    (UML_MLP_BWD=dw).  Everything the gradient needs stays in VMEM: the
+    kernel recomputes LN -> pre -> act, forms dy = g @ w2^T, dpre, dxn
+    and the LN backward, AND accumulates the weight/bias grads across
+    the sequential batch grid into fp32 VMEM-resident outputs
+    (constant-index blocks, revisited every step):
+        dw1 += xn^T @ dpre    db1 += colsum(dpre)    dw2 += yact^T @ g
+    so no hidden-width [S, 4K] tensor (dy/dpre/yact — or the fp32 hidden
+    XLA's autodiff twin streams) ever exists in HBM.  HBM traffic is
+    exactly read-x + read-g + write-dx + the resident weights.
+    Motivation: tools/exp_train_bs512.py measured the composed backward
+    batch-invariant ~20-24% over its kernel-sum floor — the size of
+    these hidden-width HBM round trips.  db2 = sum(g) rides outside on
+    the already-HBM-resident g.  Same 5-matmul FLOP count as XLA's
+    autodiff; the dW contractions run over grp*S rows per step.
+    VERDICT: measured 1.16x SLOWER than XLA's autodiff at ViT-B/16
+    bs512 (tools/exp_bwd_dw.py — the grp*197-row dW contractions pad
+    ~30% on the MXU, costing more than the avoided HBM round trips);
+    kept opt-in as the measured record."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    grp, s, k = x_ref.shape
+    xf = x_ref[...].reshape(grp * s, k).astype(jnp.float32)
+    gof = g_ref[...].reshape(grp * s, k)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn32 = (xf - mean) * rstd
+    xnb = xn32.astype(w1_ref.dtype)
+
+    pre = jnp.dot(xnb, w1_ref[:], preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[:].astype(jnp.float32)
+    yactb = _KERNEL_ACTIVATIONS[activation](pre).astype(w1_ref.dtype)
+    dy = jax.lax.dot_general(
+        gof, w2_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [G*S, M]
+    dpre = dy * _act_grad(pre, activation)
+    dpreb = dpre.astype(w1_ref.dtype)
+
+    dxn = jax.lax.dot_general(
+        dpreb, w1_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [G*S, K]
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
+    dxl = rstd * (dxn - m1 - xn32 * m2) + gof.astype(jnp.float32)
+    dx_ref[...] = dxl.astype(dx_ref.dtype).reshape(grp, s, k)
+
+    rows = (((0,), (0,)), ((), ()))       # contract the row axis
+    dw1_ref[...] += jax.lax.dot_general(
+        xnb, dpreb, rows, preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    dw2_ref[...] += jax.lax.dot_general(
+        yactb, gof, rows, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "activation",
+                                             "interpret"))
+def _mlp_bwd_dw_call(x, g, b1, w1, w2, eps, activation, interpret):
+    bsz, s, k = x.shape
+    m = w1.shape[1]
+    grp = int(os.environ.get("UML_MLP_BWD_G", 1))
+    while grp > 1 and bsz % grp != 0:
+        grp //= 2
+    # resident weights + fp32 dW accumulators + per-step fp32 hidden
+    # temps + double-buffered in/out tiles
+    need = ((w1.size + w2.size) * w1.dtype.itemsize
+            + (2 * k * m + m) * 4
+            + grp * s * (4 * m * 4 + 4 * k * 4)
+            + 2 * 3 * grp * s * k * x.dtype.itemsize)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=min(int(need * 1.3), 96 * 2**20),
+        dimension_semantics=("arbitrary",))
+    dx, dw1, db1, dw2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_dw_kernel, eps=eps,
+                          activation=activation),
+        grid=(bsz // grp,),
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),     # dx (+residual)
+            jax.ShapeDtypeStruct((k, m), jnp.float32),      # dw1
+            jax.ShapeDtypeStruct((1, m), jnp.float32),      # db1
+            jax.ShapeDtypeStruct((m, k), jnp.float32),      # dw2
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bsz * s * k * m,
+            bytes_accessed=(3 * bsz * s * k * x.dtype.itemsize
+                            + (w1.size + w2.size) * w1.dtype.itemsize
+                            + (2 * k * m + m) * 4),
+            transcendentals=2 * bsz * s * m,
+        ),
+        interpret=interpret,
+    )(x, g, b1, w1, w2)
+    return dx, dw1, db1[0], dw2
+
+
+def _mlp_bwd_dw_via_kernel(x, g, w1, b1, w2, b2, eps, activation):
+    """All five grads with the in-kernel-dW backward; only db2 (a cheap
+    reduce over the already-materialized g) runs outside."""
+    dx, dw1, db1, dw2 = _mlp_bwd_dw_call(x, g, b1, w1, w2, eps, activation,
+                                         jax.default_backend() == "cpu")
+    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
 def _raw_mlp_block_reference(x, w1, b1, w2, b2, *, eps, activation):
     """jnp twin of _mlp_block_kernel (post-fold form), for the custom_vjp."""
     xf = x.astype(jnp.float32)
@@ -308,6 +437,14 @@ def _mlp_block_vjp_fwd(x, w1, b1, w2, b2, eps, activation):
 
 def _mlp_block_vjp_bwd(eps, activation, res, g):
     x, w1, b1, w2, b2 = res
+    if (jax.default_backend() not in ("cpu",)
+            and os.environ.get("UML_MLP_BWD") == "dw"
+            and x.ndim == 3):
+        # in-kernel-accumulated-dW backward — measured SLOWER (1.16x,
+        # tools/exp_bwd_dw.py: the grp*S-row dW contractions pad ~30% on
+        # the MXU, which costs more than the hidden-width HBM round
+        # trips save).  Kept opt-in as the measured record.
+        return _mlp_bwd_dw_via_kernel(x, g, w1, b1, w2, b2, eps, activation)
     if (jax.default_backend() not in ("cpu",)
             and os.environ.get("UML_MLP_BWD") == "kernel"):
         # hand-written Pallas backward — measured SLOWER than XLA's
