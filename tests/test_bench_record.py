@@ -1,0 +1,75 @@
+"""Unit tests for bench.compose_record — the one-line bench JSON contract.
+
+The driver parses exactly one JSON line per bench run; ``value`` must be
+the fastest serving configuration measured in THAT bench (the int8 W8A8
+line when it beats bf16), with the parity-exact bf16 number always
+reported alongside, and any int8 failure (error string, missing line)
+falling back to bf16.  These tests pin that selection logic down without
+touching a device.
+"""
+
+import json
+
+import bench
+
+
+def _record(**kw):
+    defaults = dict(img_per_s=5019.0, train_rate=1116.0,
+                    train_rate_512=1118.0, families={}, pipe=None)
+    defaults.update(kw)
+    return bench.compose_record(**defaults)
+
+
+def test_int8_faster_becomes_primary_value():
+    rec = _record(families={"extract_int8_vitb16_img_per_s": 6600.0})
+    assert rec["value"] == 6600.0
+    assert "int8" in rec["serving_config"]
+    # the parity-exact bf16 number rides alongside, with its roofline
+    assert rec["extract_bf16_img_per_s"] == 5019.0
+    assert 0 < rec["bf16_roofline_fraction"] < 1
+    assert rec["vs_baseline"] == round(6600.0 / bench.BASELINE_IMG_PER_S, 4)
+
+
+def test_int8_slower_falls_back_to_bf16():
+    rec = _record(families={"extract_int8_vitb16_img_per_s": 4000.0})
+    assert rec["value"] == 5019.0
+    assert "bf16" in rec["serving_config"]
+
+
+def test_int8_error_string_falls_back_to_bf16():
+    # a stalled/failed family subprocess reports an error string, not a
+    # float — it must never be selected as the headline
+    rec = _record(families={"extract_int8_vitb16_img_per_s":
+                            "error: subprocess timeout"})
+    assert rec["value"] == 5019.0
+    assert rec["vs_baseline"] == round(5019.0 / bench.BASELINE_IMG_PER_S, 4)
+
+
+def test_int8_missing_falls_back_to_bf16():
+    rec = _record(families={})
+    assert rec["value"] == 5019.0
+
+
+def test_pipe_merged_and_json_serializable():
+    pipe = {"pipeline_img_per_s": 176.1,
+            "pipeline_host_decode_img_per_s": 442.9}
+    rec = _record(pipe=pipe)
+    assert rec["pipeline_img_per_s"] == 176.1
+    assert "pipeline_note" in rec
+    # the driver contract: the record is one parseable JSON object
+    assert json.loads(json.dumps(rec))["metric"] == \
+        "clip_vitb16_feature_extraction_throughput"
+
+
+def test_no_pipe_no_pipeline_note():
+    rec = _record(pipe=None)
+    assert "pipeline_note" not in rec
+    assert "pipeline_img_per_s" not in rec
+
+
+def test_family_lines_pass_through():
+    fams = {"extract_dinov2_vitb14_img_per_s": 3341.0,
+            "extract_clip_rn50_img_per_s": 8546.8}
+    rec = _record(families=dict(fams))
+    for k, v in fams.items():
+        assert rec[k] == v
