@@ -67,6 +67,62 @@ def test_no_pipe_no_pipeline_note():
     assert "pipeline_img_per_s" not in rec
 
 
+class _FakeCompleted:
+    def __init__(self, rc, stdout, stderr=""):
+        self.returncode, self.stdout, self.stderr = rc, stdout, stderr
+
+
+def _patch_family_runs(monkeypatch, outcomes, calls):
+    """outcomes: key -> list of per-attempt results ('ok:<val>' or 'fail');
+    records the attempt order in ``calls``."""
+    import subprocess
+
+    def fake_run(cmd, env=None, **kw):
+        key = env["UML_BENCH_FAMILY"]
+        calls.append(key)
+        plan = outcomes.get(key, ["ok:100.0"])
+        step = plan.pop(0) if len(plan) > 1 else plan[0]
+        if step == "fail":
+            return _FakeCompleted(1, "", "boom")
+        return _FakeCompleted(0, step.split(":")[1] + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+
+
+def test_family_survey_line_retried_from_leftover_budget(monkeypatch):
+    calls = []
+    _patch_family_runs(
+        monkeypatch,
+        {"extract_dinov2_vitl14_img_per_s": ["fail", "ok:958.0"]}, calls)
+    out = bench.family_bench()
+    assert out["extract_dinov2_vitl14_img_per_s"] == 958.0
+    # the retry happens AFTER every key's first attempt (second pass)
+    first_attempts = calls[: len(bench.FAMILY_BUILDERS)]
+    assert sorted(first_attempts) == sorted(bench.FAMILY_BUILDERS)
+    assert calls[-1] == "extract_dinov2_vitl14_img_per_s"
+
+
+def test_family_headline_retried_immediately(monkeypatch):
+    calls = []
+    _patch_family_runs(
+        monkeypatch,
+        {"extract_int8_vitb16_img_per_s": ["fail", "ok:6600.0"]}, calls)
+    out = bench.family_bench()
+    assert out["extract_int8_vitb16_img_per_s"] == 6600.0
+    # the headline candidate's retry precedes the survey lines' first run
+    assert calls[0] == calls[1] == "extract_int8_vitb16_img_per_s"
+
+
+def test_family_persistent_failure_keeps_error_string(monkeypatch):
+    calls = []
+    _patch_family_runs(
+        monkeypatch, {"extract_clip_rn50_img_per_s": ["fail", "fail"]},
+        calls)
+    out = bench.family_bench()
+    assert isinstance(out["extract_clip_rn50_img_per_s"], str)
+    assert out["extract_clip_rn50_img_per_s"].startswith("error")
+
+
 def test_family_lines_pass_through():
     fams = {"extract_dinov2_vitb14_img_per_s": 3341.0,
             "extract_clip_rn50_img_per_s": 8546.8}
