@@ -415,11 +415,19 @@ def pipeline_bench(extract_sum, variables):
         for o in outs[fetched:]:
             float(o)
         pipe_rate = PIPELINE_IMAGES / (time.time() - t0)
+    # the post-fetch H2D cap expressed as an image rate: the composed
+    # loop's ceiling in THIS episode (the relay's cap moves run to run,
+    # so the ratio — not the absolute rate — is the composition-quality
+    # signal; the probe is one batch, the loop minutes, so a mid-loop
+    # link-speed move shows up as ratio variance across rounds)
+    link_bound = transfer_b_mbps * 2**20 / (224 * 224 * 3)
     return {
         "pipeline_img_per_s": round(pipe_rate, 1),
         "pipeline_host_decode_img_per_s": round(decode_rate, 1),
         "pipeline_transfer_img_per_s": round(transfer_a_rate, 1),
         "pipeline_transfer_postfetch_MBps": round(transfer_b_mbps, 1),
+        "pipeline_link_bound_img_per_s": round(link_bound, 1),
+        "pipeline_vs_link_bound": round(pipe_rate / link_bound, 2),
         "pipeline_first_fetch_flush_s": round(flush_s, 1),
     }
 
