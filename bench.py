@@ -46,6 +46,11 @@ Extras:
     host->device transfer (double-buffered) -> jitted forward -> per-
     batch feature fetch, with per-stage rates reported alongside so
     regressions (and environment caps) are attributable per stage.
+    ``pipeline_vs_link_bound`` divides the composed rate by the SAME
+    episode's measured post-fetch H2D cap (expressed as img/s in
+    ``pipeline_link_bound_img_per_s``): the relay's cap moves run to
+    run, so the ratio — 0.83-0.84 across runs whose absolute rates
+    differed 2.2x — is the composition-quality signal.
 
 Robustness: the relay has stall episodes (previously-compiled trivial
 programs hanging 15+ min).  main() first health-probes the device path
