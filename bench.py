@@ -28,6 +28,16 @@ Extras:
     first-class encoder choices, engine/config/__init__.py:76-89) so
     their throughput is measured every round, not assumed; analytic
     speed-of-light per family via tools/roofline_families.py
+  * text-tower lines (``extract_text_bf16_sent_per_s`` / ``_int8_``):
+    sentences/s through the causal CLIP text transformer at its 77-token
+    context — the other half of features.py's extraction (template +
+    CUPL-descriptor features, prepare_text_features features.py:186-223).
+    First measurement (v5e, bs2048): bf16 22468.5 sent/s = 70% of the
+    32267 sent/s analytic roofline (6.105 GF/sentence,
+    tools/roofline_families.py); int8 24501.8 = only 1.09x bf16 — at
+    K=512, S=77 the per-row quantize VPU passes eat most of the int8
+    MXU win, so the serving default for TEXT stays bf16-adjacent and
+    the int8 line exists as coverage, not as the text headline
   * ``extract_int8_vitb16_img_per_s``: the W8A8 serving mode (--quant
     int8, ops.quant) — int8 MXU dots run at 394 TOPS on v5e (2x bf16),
     so this line's physics ceiling is ~2x the bf16 roofline; feature
@@ -208,6 +218,22 @@ def _clip_q8_builder(name):
     return build
 
 
+def _clip_text_builder(name, quant="none"):
+    """Text-tower extraction (features.py's OTHER hot path — template and
+    CUPL-descriptor text features, prepare_text_features
+    features.py:186-223; imagenet CUPL alone is ~30k sentences).  The
+    causal fused half-block kernels serve S=77; quant='int8' exercises
+    the W8A8 causal path of ops.quant."""
+    def build():
+        model = build_clip(name, dtype=jnp.bfloat16, quant=quant)
+        variables = init_on_cpu(lambda: model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+            jnp.zeros((1, 77), jnp.int32)))
+        return model, variables, lambda m, t: m.encode_text(t)
+    return build
+
+
 FAMILY_BUILDERS = {
     # W8A8 serving mode (ops.quant): int8 MXU dots at 394 TOPS vs 197
     # TFLOPs bf16 on v5e — the physics ceiling past the bf16 roofline
@@ -224,15 +250,35 @@ FAMILY_BUILDERS = {
         _dino_builder("vit_large_patch14_dinov2.lvd142m"),
     "extract_dino_vitb8_img_per_s": _dino_builder("vit_base_patch8_224_dino"),
     "extract_clip_rn50_img_per_s": _clip_builder("RN50", reshape=True),
+    # text-tower lines: sentences/s through the causal text transformer
+    # (77-token context) — the other half of features.py's extraction
+    "extract_text_bf16_sent_per_s": _clip_text_builder("ViT-B/16"),
+    "extract_text_int8_sent_per_s": _clip_text_builder("ViT-B/16",
+                                                       quant="int8"),
 }
+TEXT_FAMILIES = ("extract_text_bf16_sent_per_s",
+                 "extract_text_int8_sent_per_s")
+
+
+def stage_tokens(batch):
+    """int32 [B, 77] token batch for the text-tower lines.  Random ids
+    with a forced max in the last column so the EOT argmax-pool gathers
+    the same position pattern real tokenized prompts produce (tokenize
+    puts the EOT id — the vocab max — at the sequence end)."""
+    rng = np.random.default_rng(0)
+    toks = rng.integers(1, 49407, (batch, 77), dtype=np.int32)
+    toks[:, -1] = 49407
+    d = jax.device_put(jnp.asarray(toks))
+    d.block_until_ready()
+    return d
 # one relay compile can stall for 15+ min in bad episodes; each family
 # line runs in its own subprocess under this timeout so a stall costs
 # that line (an "error: timeout" string), never the whole bench JSON
 FAMILY_TIMEOUT_S = int(os.environ.get("UML_FAMILY_TIMEOUT_S", 420))
-# 1600 s: the int8 line added a 7th family; two worst-case relay
-# compile stalls (2 x 420 s) must still leave room for the five
-# historical lines (~90 s each warm)
-FAMILY_BUDGET_S = int(os.environ.get("UML_FAMILY_BUDGET_S", 1600))
+# 1900 s: the int8 line made 7 families and the text-tower pair 9; two
+# worst-case relay compile stalls (2 x 420 s) must still leave room for
+# the other lines (~90 s each warm; the text lines are lighter still)
+FAMILY_BUDGET_S = int(os.environ.get("UML_FAMILY_BUDGET_S", 1900))
 
 
 def run_probe():
@@ -275,7 +321,10 @@ def run_single_family(key):
     def extract(v, u8):
         return model.apply(v, u8, method=method).sum()
 
-    imgs = stage_input(FAMILY_BATCH, 224 * 224 * 3)
+    if key in TEXT_FAMILIES:
+        imgs = stage_tokens(FAMILY_BATCH)
+    else:
+        imgs = stage_input(FAMILY_BATCH, 224 * 224 * 3)
     # the int8 line is the serving-headline candidate: measure it with
     # the headline's own dispatch depth; the survey lines use a shorter
     # window (they only need ~2-sig-fig family coverage)

@@ -123,6 +123,20 @@ def test_family_persistent_failure_keeps_error_string(monkeypatch):
     assert out["extract_clip_rn50_img_per_s"].startswith("error")
 
 
+def test_text_family_keys_and_token_staging():
+    # the text-tower lines dispatch token staging instead of image bytes;
+    # every TEXT_FAMILIES key must exist in the builder registry
+    for k in bench.TEXT_FAMILIES:
+        assert k in bench.FAMILY_BUILDERS
+    import numpy as np
+    toks = np.asarray(bench.stage_tokens(4))
+    assert toks.shape == (4, 77) and toks.dtype == np.int32
+    # EOT id (the vocab max) forced into the last column: argmax pooling
+    # gathers the end position, like real tokenized prompts
+    assert (toks.argmax(axis=-1) == 76).all()
+    assert toks.min() >= 1 and toks.max() == 49407
+
+
 def test_family_lines_pass_through():
     fams = {"extract_dinov2_vitb14_img_per_s": 3341.0,
             "extract_clip_rn50_img_per_s": 8546.8}

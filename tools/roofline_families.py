@@ -68,6 +68,32 @@ def vit_int8_sol(k, heads, layers, s, mlp, patch, in_ch=3):
     return 1.0 / (proj / (INT8_TOPS * 1e3) + rest / (PEAK_TFS * 1e3))
 
 
+def _text_parts(k, heads, layers, s, mlp, embed_dim):
+    """(projection GF, else GF) per sentence, EOT-pooled causal text
+    tower (S=77 context).  Every block is quantizable in the int8 mode
+    (no CLS-only final block — pooling happens after ln_final); the
+    token-embedding gather does no MXU work.  Causality does NOT halve
+    the score FLOPs on our kernels: the pair-packed [S, S] dots run the
+    full rectangle and mask (the fused kernels' actual execution)."""
+    qkv = 2 * s * k * 3 * k
+    sc_av = 2 * (2 * 2 * heads * s * s * 64)      # pair-packed (2x), sc+av
+    out = 2 * s * k * k
+    mlp_f = 2 * 2 * s * k * mlp
+    proj = layers * (qkv + out + mlp_f)
+    rest = layers * sc_av + 2 * k * embed_dim     # + final text projection
+    return proj / 1e9, rest / 1e9
+
+
+def text_gflop_per_sent(**shape):
+    proj, rest = _text_parts(**shape)
+    return proj + rest
+
+
+def text_int8_sol(**shape):
+    proj, rest = _text_parts(**shape)
+    return 1.0 / (proj / (INT8_TOPS * 1e3) + rest / (PEAK_TFS * 1e3))
+
+
 def families():
     from uml_tpu.models.clip import CLIP_CONFIGS
     from uml_tpu.models.dino import DINO_CONFIGS
@@ -83,6 +109,15 @@ def families():
         if name == "ViT-B/16":
             rows.append((f"CLIP {name} int8 (W8A8)", dict(shape, int8=True),
                          ("clip_q8", name)))
+    c = CLIP_CONFIGS["ViT-B/16"]
+    text_shape = dict(k=c.transformer_width, heads=c.transformer_heads,
+                      layers=c.transformer_layers, s=c.context_length,
+                      mlp=4 * c.transformer_width, embed_dim=c.embed_dim,
+                      text=True)
+    rows.append(("CLIP ViT-B/16 text (77 ctx)", text_shape,
+                 ("text", "ViT-B/16")))
+    rows.append(("CLIP ViT-B/16 text int8 (W8A8)",
+                 dict(text_shape, int8=True), ("text_q8", "ViT-B/16")))
     for name in ("vit_base_patch14_dinov2.lvd142m",
                  "vit_large_patch14_dinov2.lvd142m",
                  "vit_base_patch8_224_dino"):
@@ -101,12 +136,21 @@ def measure(kind, name, batch):
 
     import bench
 
-    if kind in ("clip", "clip_q8"):
-        model = bench.build_clip(name, dtype=jnp.bfloat16,
-                                 quant="int8" if kind == "clip_q8" else "none")
+    if kind in ("clip", "clip_q8", "text", "text_q8"):
+        model = bench.build_clip(
+            name, dtype=jnp.bfloat16,
+            quant="int8" if kind.endswith("q8") else "none")
         variables = bench.init_on_cpu(lambda: model.init(
             jax.random.key(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
             jnp.zeros((1, 77), jnp.int32)))
+        if kind.startswith("text"):
+            @jax.jit
+            def extract(v, toks):
+                return model.apply(
+                    v, toks, method=lambda m, t: m.encode_text(t)).sum()
+
+            tokens = bench.stage_tokens(batch)
+            return bench.device_bench(extract, variables, tokens, iters=5)
         extract = bench.make_extract(model)
     else:
         from uml_tpu.models.dino import DINO_CONFIGS, DinoViT
@@ -133,8 +177,13 @@ def main():
     for label, shape, (kind, name) in families():
         shape = dict(shape)
         is_int8 = shape.pop("int8", False)
-        gf = vit_gflop_per_img(**shape)
-        sol = vit_int8_sol(**shape) if is_int8 else PEAK_TFS * 1e3 / gf
+        is_text = shape.pop("text", False)
+        gf_fn = text_gflop_per_sent if is_text else vit_gflop_per_img
+        gf = gf_fn(**shape)
+        if is_int8:
+            sol = (text_int8_sol if is_text else vit_int8_sol)(**shape)
+        else:
+            sol = PEAK_TFS * 1e3 / gf
         if do_measure:
             rate = measure(kind, name, batch)
             frac = f"{rate / sol:8.1%}"
