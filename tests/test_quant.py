@@ -89,6 +89,36 @@ def test_attn_q8_kernel_matches_q8_reference(causal):
     assert _cos(got, want) > 0.999
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_attn_q8qkv_kernel_matches_q8qkv_reference(causal):
+    """qkv-only variant (q8_out=False): Pallas kernel (interpret) vs its
+    simulated-int8 twin (int8 QKV dot, bf16 out-projection)."""
+    from uml_tpu.ops.quant import ln_attn_block_q8qkv_reference
+
+    rng = np.random.default_rng(3)
+    x, scale, bias, w, kb, wo, bo = _attn_setup(rng)
+    got = ln_attn_block_q8(x, scale, bias, w, kb, wo, bo, heads=4,
+                           causal=causal, impl="pallas", q8_out=False)
+    want = ln_attn_block_q8qkv_reference(x, scale, bias, w, kb, wo, bo,
+                                         heads=4, causal=causal)
+    assert _rel(got, want) < 3e-2
+    assert _cos(got, want) > 0.999
+
+
+def test_attn_q8qkv_closer_to_bf16_than_full_q8():
+    """Quantizing a strict subset of the projections (QKV only) must
+    track the bf16 block at least as closely as the full int8 block."""
+    rng = np.random.default_rng(4)
+    x, scale, bias, w, kb, wo, bo = _attn_setup(rng)
+    f = ln_attn_block_reference(x, scale, bias, w.astype(jnp.bfloat16), kb,
+                                wo, bo, heads=4)
+    full = _cos(ln_attn_block_q8(x, scale, bias, w, kb, wo, bo, heads=4), f)
+    qkv = _cos(ln_attn_block_q8(x, scale, bias, w, kb, wo, bo, heads=4,
+                                q8_out=False), f)
+    assert qkv > 0.998
+    assert qkv >= full - 1e-3
+
+
 def test_attn_q8_close_to_bf16():
     rng = np.random.default_rng(2)
     x, scale, bias, w, kb, wo, bo = _attn_setup(rng)
@@ -237,7 +267,7 @@ def test_clip_mixed_quant_modes():
         return _cos(q, f)
 
     full = cos_for("int8")
-    for mode in ("int8_mlp", "int8_attn"):
+    for mode in ("int8_mlp", "int8_attn", "int8_qkv"):
         c = cos_for(mode)
         assert c > 0.995
         assert c >= full - 1e-3, (mode, c, full)

@@ -29,6 +29,15 @@ MXU time and the scores pipeline across layer boundaries.  The serving
 default therefore stays quant='int8' (both halves); int8_mlp/int8_attn
 remain as measured fallbacks for fidelity-sensitive deployments.
 
+VERDICT 2 (v5e chip, bs2048, 2026-08-19, UML_EXP_FAST decision run):
+the qkv-only candidate — int8 QKV + bf16 out-proj, skipping the
+attention-output quantize (quant='int8_qkv', ops.quant q8_out=False) —
+measured 6437.0 img/s (1.2952x) vs full int8's 6553.8 (1.3187x),
+drift control 1.0040.  Composed, the out-projection's int8 MXU saving
+beats its quantize overhead, so the serving default KEEPS both
+projections int8; 'int8_qkv' stays as a measured mode (slightly higher
+fidelity, ~2% slower).
+
 Usage: timeout 3600 python tools/exp_q8_mix.py  [UML_EXP_BATCH=2048]
 """
 
@@ -46,11 +55,17 @@ def main():
 
     import bench
 
-    variants = ("none", "int8", "mlp_only", "attn_only", "none#2")
+    variants = ("none", "int8", "qkv_mlp", "mlp_only", "attn_only",
+                "none#2")
+    if os.environ.get("UML_EXP_FAST") == "1":
+        # decision run for the qkv_mlp candidate: headline mode + the
+        # candidate + drift control only
+        variants = ("none", "int8", "qkv_mlp", "none#2")
     u8 = bench.stage_input(B, 224 * 224 * 3)
     rates = {}
     for tag in variants:
         quant = {"none": "none", "none#2": "none", "int8": "int8",
+                 "qkv_mlp": "int8_qkv",
                  "mlp_only": "int8_mlp", "attn_only": "int8_attn"}[tag]
         from uml_tpu.models.clip import build_clip
 
@@ -69,7 +84,9 @@ def main():
         print(f"{tag:10s}: {rates[tag]:8.1f} img/s", flush=True)
     base = rates["none"]
     print(f"drift control none#2/none: {rates['none#2'] / base:.4f}")
-    for tag in ("int8", "mlp_only", "attn_only"):
+    for tag in variants:
+        if tag in ("none", "none#2"):
+            continue
         print(f"{tag}/none: {rates[tag] / base:.4f}")
 
 

@@ -168,9 +168,13 @@ class ResidualAttentionBlock(nn.Module):
 
         # which half-blocks run W8A8 (ops.quant): 'int8' quantizes both,
         # 'int8_mlp'/'int8_attn' one half (the mixed modes exist because
-        # the two halves profit very differently — see tools/exp_q8_mix.py)
+        # the two halves profit very differently — see tools/exp_q8_mix.py);
+        # 'int8_qkv' = int8 MLP + qkv-only int8 attention (bf16 out-proj,
+        # skipping the attention-output quantize — ops.quant q8_out=False)
         q8_halves = {"int8": ("attn", "mlp"), "int8_mlp": ("mlp",),
-                     "int8_attn": ("attn",), "none": ()}[self.quant]
+                     "int8_attn": ("attn",),
+                     "int8_qkv": ("attn_qkv", "mlp"),
+                     "none": ()}[self.quant]
         if q8_halves and not cls_only:
             # W8A8 serving path (ops.quant): int8 MXU dots for the
             # projection matmuls, per-row dynamic activation scales,
@@ -192,11 +196,12 @@ class ResidualAttentionBlock(nn.Module):
                 self.width, 3 * self.width, name="qkv")()
             out_kernel, out_bias = _DenseKernelBias(
                 self.width, self.width, name="out_proj")()
-            if "attn" in q8_halves:
+            if "attn" in q8_halves or "attn_qkv" in q8_halves:
                 x = ln_attn_block_q8(
                     x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
                     out_kernel.astype(self.dtype), out_bias, heads=h,
-                    causal=causal, impl=q8_impl)
+                    causal=causal, impl=q8_impl,
+                    q8_out="attn" in q8_halves)
             else:
                 x = ln_attn_block(
                     x, ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype),
@@ -551,7 +556,9 @@ def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
     (ops.quant) — inference-only, ViT/text transformers only (the RN
     towers are conv-profile and stay bf16).  ``'int8_mlp'``/
     ``'int8_attn'`` quantize only that half-block family (the mixed
-    modes measured in tools/exp_q8_mix.py)."""
+    modes measured in tools/exp_q8_mix.py); ``'int8_qkv'`` = int8 MLPs
+    plus qkv-only int8 attention (bf16 out-proj — skips the
+    attention-output quantize)."""
     if name in ("RN50", "RN101"):
         from uml_tpu.models.clip_resnet import CLIP_RESNET_CONFIGS
 
@@ -564,8 +571,8 @@ def build_clip(name: str, dtype=jnp.float32, attn_impl: str = "auto",
                                ln_matmul_impl=ln_matmul_impl)
     if name not in CLIP_CONFIGS:
         raise ValueError(f"Unknown CLIP encoder {name!r}; have {list(CLIP_CONFIGS)}")
-    if quant not in ("none", "int8", "int8_mlp", "int8_attn"):
+    if quant not in ("none", "int8", "int8_mlp", "int8_attn", "int8_qkv"):
         raise ValueError(f"Unknown quant mode {quant!r}; have "
-                         "none/int8/int8_mlp/int8_attn")
+                         "none/int8/int8_mlp/int8_attn/int8_qkv")
     return CLIP(CLIP_CONFIGS[name], dtype=dtype, attn_impl=attn_impl,
                 ln_matmul_impl=ln_matmul_impl, quant=quant)

@@ -142,6 +142,43 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
                     + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _block_q8qkv_kernel(x_ref, wq_ref, wsc_ref, b_ref, wo_ref, bo_ref,
+                        o_ref, *, eps, heads, head_dim, causal, dot_dtype,
+                        slab):
+    """qkv-only int8 attention half-block: the QKV projection runs int8
+    (3/4 of the half-block's projection FLOPs) but the out-projection
+    stays bf16, skipping the [S, H*D] attention-output quantize (three
+    VPU passes per image).  A/B verdict (tools/exp_q8_mix.py, v5e
+    bs2048): composed 6437.0 img/s vs the full-int8 block's 6553.8 —
+    the out-proj's int8 MXU saving beats its quantize overhead once
+    composed, so the serving default keeps both projections int8 and
+    this variant exists as the higher-fidelity, ~2%-slower mode
+    (quant='int8_qkv')."""
+    g, s, k = x_ref.shape
+    if slab:
+        xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
+        xn = _ln_rows(xf_all, eps)
+        xq, xs = _quantize_rows(xn)
+        qkv_all = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
+    for j in range(g):
+        if slab:
+            xf = xf_all[j * s:(j + 1) * s]
+            qkv = qkv_all[j * s:(j + 1) * s]
+        else:
+            xf = x_ref[j].astype(jnp.float32)                # [S, K]
+            xn = _ln_rows(xf, eps)
+            xq, xs = _quantize_rows(xn)
+            qkv = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
+
+        cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
+                               causal=causal, dot_dtype=dot_dtype,
+                               b_eff=b_ref[:])
+        attn = jnp.concatenate(cols, axis=-1).astype(dot_dtype)
+        delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        o_ref[j] = (xf + delta
+                    + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
 def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
                    b2_ref, o_ref, *, eps, activation, slab):
     """Int8 twin of ln_matmul._mlp_block_kernel: o = x + act(rawLN(x)
@@ -164,14 +201,16 @@ def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
         o_ref[j0:j0 + step] = out.reshape(step, s, k)
 
 
-def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1, slab=False):
+def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1, slab=False,
+                        q8_out=True):
     """Working set of the int8 attention half-block: int8 weights + fp32
     scales resident, double-buffered bf16 tiles, fp32/int8 row temps, and
     the per-pair [S, S] score temporaries.  ``slab`` holds the whole
-    [G*S, ...] LN/quant/qkv chain live at once."""
+    [G*S, ...] LN/quant/qkv chain live at once.  ``q8_out=False`` (the
+    qkv-only variant) keeps the out-projection weight bf16-resident."""
     hd = heads * head_dim
     rows = g * seq_len if slab else seq_len
-    w = k * 3 * hd + hd * k + 4 * (3 * hd + k)
+    w = k * 3 * hd + (hd * k if q8_out else 2 * hd * k) + 4 * (3 * hd + k)
     tile = seq_len * (2 * k + 2 * k)          # in/out bf16
     temps = rows * (4 * k + k + 4 * 3 * hd + 2 * 3 * hd)
     temps += seq_len * (4 * hd + hd)          # per-image attn/out-proj rows
@@ -237,6 +276,46 @@ def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
         ),
         interpret=interpret,
     )(x, wq, wsc, b_eff, woq, wosc, bo)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "causal", "interpret"))
+def _block_q8qkv_fwd(x, wq, wsc, b_eff, wo, bo, eps, heads, head_dim,
+                     causal, interpret):
+    bsz, s, k = x.shape
+    m3 = wq.shape[1]
+    hd = heads * head_dim
+    slab = _q8_slab_enabled()
+    g, cparams = _group_and_params(
+        bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g,
+                                                   slab, q8_out=False))
+    return pl.pallas_call(
+        functools.partial(_block_q8qkv_kernel, eps=eps, heads=heads,
+                          head_dim=head_dim, causal=causal,
+                          dot_dtype=jnp.bfloat16, slab=slab),
+        grid=(bsz // g,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, s, k), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim
+                   + 2 * bsz * s * hd * k),
+            bytes_accessed=(2 * x.size * x.dtype.itemsize
+                            + wq.size + wo.size * wo.dtype.itemsize),
+            transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, wq, wsc, b_eff, wo, bo)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
@@ -323,6 +402,20 @@ def ln_attn_block_q8_reference(x, scale, bias, kernel, kbias, wo, bo, *,
     return (xf + delta + bo.astype(jnp.float32)).astype(x.dtype)
 
 
+def ln_attn_block_q8qkv_reference(x, scale, bias, kernel, kbias, wo, bo, *,
+                                  heads, causal=False, eps=1e-5):
+    """jnp twin of the qkv-only int8 attention half-block: int8 QKV dot,
+    bf16 attention + out-projection (simulated int8)."""
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    wq, wsc = quantize_weight(w_eff)
+    xf = x.astype(jnp.float32)
+    xn = _ln_rows(xf, eps)
+    attn = _attn_q8_reference_core(xn, wq, wsc, b_eff, heads, causal)
+    delta = jnp.dot(attn.astype(wo.dtype), wo,
+                    preferred_element_type=jnp.float32)
+    return (xf + delta + bo.astype(jnp.float32)).astype(x.dtype)
+
+
 def ln_mlp_block_q8_reference(x, scale, bias, w1, b1, w2, b2, *,
                               eps=1e-5, activation=None):
     """jnp twin of the int8 MLP half-block (simulated int8)."""
@@ -364,13 +457,15 @@ def supports_q8_mlp(k: int, m: int, seq_len: int) -> bool:
 
 def ln_attn_block_q8(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
                      causal: bool = False, eps: float = 1e-5,
-                     impl: str = "auto"):
+                     impl: str = "auto", q8_out: bool = True):
     """x + (MHA(LN(x)) @ wo + bo) with int8 projection matmuls.
 
     Inference-only (no custom_vjp — training uses the bf16 half-blocks).
     ``impl='auto'``: Pallas on TPU for supported shapes, else the jnp
     simulated-int8 reference (identical quantization math, so CPU runs
     and unit tests exercise the same numerics the TPU kernel computes).
+    ``q8_out=False``: qkv-only variant — the out-projection stays bf16,
+    skipping the attention-output quantize (see _block_q8qkv_kernel).
     """
     d = kernel.shape[1] // (3 * heads)
     if impl == "auto":
@@ -382,10 +477,18 @@ def ln_attn_block_q8(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
     if impl == "pallas":
         w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
         wq, wsc = quantize_weight(w_eff)
-        woq, wosc = quantize_weight(wo)
         interpret = jax.default_backend() == "cpu"
+        if not q8_out:
+            return _block_q8qkv_fwd(x, wq, wsc, b_eff,
+                                    wo.astype(jnp.bfloat16), bo, eps, heads,
+                                    d, causal, interpret)
+        woq, wosc = quantize_weight(wo)
         return _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads,
                              d, causal, interpret)
+    if not q8_out:
+        return ln_attn_block_q8qkv_reference(
+            x, scale, bias, kernel, kbias, wo.astype(jnp.bfloat16), bo,
+            heads=heads, causal=causal, eps=eps)
     return ln_attn_block_q8_reference(x, scale, bias, kernel, kbias, wo, bo,
                                       heads=heads, causal=causal, eps=eps)
 
