@@ -168,6 +168,21 @@ def test_features_cli_text_tp_matches_unsharded(tmp_path):
     np.testing.assert_array_equal(got["eot_indices"], want["eot_indices"])
 
 
+def test_features_cli_mixed_quant_maps_to_weight_only_text(tmp_path):
+    """Every CLI --quant int8* mode reaching the HF text path maps to the
+    weight-only int8 text quantization (the only LLM quant scheme); the
+    CLIP-specific mixed modes must not crash the text encoder."""
+    pytest.importorskip("torch")
+    from uml_tpu.cli.features import _HFEncoderAdapter
+
+    d = str(tmp_path / "tiny-llama")
+    _save_tiny_llama(d)
+    enc = _HFEncoderAdapter(language_model=d, quant="int8_qkv")
+    assert enc.text_model.quant == "int8_w"
+    enc_none = _HFEncoderAdapter(language_model=d, quant="none")
+    assert enc_none.text_model.quant == "none"
+
+
 def test_gqa_repeat_and_padding_invariance():
     model = LlamaEncoder(TINY)
     rng = np.random.default_rng(2)

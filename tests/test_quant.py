@@ -278,3 +278,14 @@ def test_build_clip_rejects_unknown_quant():
 
     with pytest.raises(ValueError, match="quant"):
         build_clip("ViT-B/16", quant="int4")
+
+
+def test_quant_flag_accepts_all_serving_modes():
+    """Every build_clip quant mode is reachable from the CLI --quant flag
+    (the TP lesson from round 2: a mode that exists only on the library
+    API is not a shipped capability)."""
+    from uml_tpu.core.flags import build_shared_parser
+
+    for mode in ("none", "int8", "int8_mlp", "int8_attn", "int8_qkv"):
+        args = build_shared_parser().parse_args(["--quant", mode])
+        assert args.quant == mode

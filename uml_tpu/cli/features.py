@@ -323,11 +323,11 @@ class _HFEncoderAdapter:
                 # mesh reaches the text encoder: llama-family LMs (the
                 # OpenLLaMA-7B/13B axis, reference languagemodel.py:72-73)
                 # run tensor-parallel over the mesh's 'model' axis.
-                # --quant int8 => weight-only int8 projections there
+                # any --quant int8* => weight-only int8 projections there
                 # (native backend only): 13B fits one 16 GB v5e chip
                 self.text_model = TextModel(
                     language_model, mesh=mesh,
-                    quant="int8_w" if quant == "int8" else "none")
+                    quant="int8_w" if quant.startswith("int8") else "none")
             except Exception as e:
                 if not allow_random_init:
                     raise

@@ -116,12 +116,18 @@ def build_shared_parser() -> argparse.ArgumentParser:
                    help="run encoders from random init when no pretrained "
                         "weights are available (testing only)")
     p.add_argument("--quant", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_mlp", "int8_attn",
+                            "int8_qkv"],
                    help="'int8': W8A8 serving mode for CLIP ViT/text "
                         "feature extraction (ops.quant) — int8 MXU dots "
                         "run at 2x the bf16 rate on v5e; per-row dynamic "
                         "activation scales, no calibration pass. "
-                        "Extraction-only (training always runs bf16)")
+                        "Extraction-only (training always runs bf16). "
+                        "The mixed modes quantize a subset of the CLIP "
+                        "projections (fidelity/speed ladder, measured in "
+                        "tools/exp_q8_mix.py: int8 1.32x > int8_qkv 1.30x "
+                        "> int8_mlp 1.19x > int8_attn 1.09x over bf16); "
+                        "DINO towers support none/int8 only")
     p.add_argument("--ckpt_every", type=int, default=0,
                    help="orbax mid-run checkpoint interval in iterations "
                         "(0 = off); restarted runs resume from the latest "
