@@ -3,6 +3,28 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline target (BASELINE.json north star): 5000 img/s/chip on TPU v5e.
 
+Budget contract (round 4): the WHOLE bench fits a global wall-clock budget
+(``UML_BENCH_TOTAL_BUDGET_S``, default 1020 s) so the driver's capture
+window always receives the JSON line — round 3's bench could exceed 40 min
+in bad relay weather (420 s health probe + unbounded core + 1900 s family
+budget with retries) and the driver killed it at timeout, capturing
+nothing.  Structure now:
+
+  * the parent process is a pure orchestrator — it never touches the
+    device; every measurement runs in a timeout-bounded child process;
+  * children STREAM each metric as its own JSON line the moment it is
+    measured, and the parent merges whatever arrived even when a child
+    is killed at its timeout — a stall costs the un-emitted lines, never
+    the accumulated ones;
+  * measurement order is priority order: health probe -> core child
+    (bf16 headline -> train step -> pipeline) -> int8 serving line (the
+    headline candidate, with one immediate retry) -> family survey
+    groups -> text towers;  when the deadline nears, remaining lines are
+    shed and listed in the record's ``"shed"`` field — an explicit
+    statement of what was not measured, not a silent truncation;
+  * the parent ALWAYS prints the JSON line, with ``SAFETY_S`` seconds of
+    margin before the budget expires.
+
 Methodology (variance-robust): every number is the MEDIAN of 3 timed runs;
 each run enqueues ITERS dispatches back-to-back (as a real double-buffered
 extraction pipeline would) and fetches every result at the end, so async
@@ -14,60 +36,22 @@ forward under jit, in the framework's FASTEST SERVING CONFIGURATION —
 the int8 W8A8 half-block kernels (``--quant int8``, ops.quant) when that
 line measured faster than bf16 in the same bench (it does: int8 MXU dots
 run at 2x the bf16 rate on v5e; feature fidelity vs bf16 is cosine
->0.999, tests/test_quant.py; composition A/B in tools/exp_q8_mix.py).
-The parity-exact bf16 path (CLIP normalization folded into the patch
-embedding, fused bf16 half-block kernels) is ALWAYS reported alongside
-as ``extract_bf16_img_per_s`` with its roofline fraction — it measures
-~87% of the 5778 img/s bf16 physics ceiling, so precision, not kernel
-quality, is what the serving headline buys.  If the int8 line fails or
-regresses below bf16, ``value`` falls back to the bf16 number.
+>0.999, tests/test_quant.py).  The parity-exact bf16 path (CLIP
+normalization folded into the patch embedding, fused bf16 half-block
+kernels) is ALWAYS reported alongside as ``extract_bf16_img_per_s`` with
+its roofline fraction.  If the int8 line fails or regresses below bf16,
+``value`` falls back to the bf16 number.
 
-Extras:
-  * per-encoder-family extraction lines (CLIP ViT-L/14, DINOv2 ViT-B/14
-    and ViT-L/14, DINO ViT-B/8, CLIP RN50 — the reference's other
-    first-class encoder choices, engine/config/__init__.py:76-89) so
-    their throughput is measured every round, not assumed; analytic
-    speed-of-light per family via tools/roofline_families.py
-  * text-tower lines (``extract_text_bf16_sent_per_s`` / ``_int8_``):
-    sentences/s through the causal CLIP text transformer at its 77-token
-    context — the other half of features.py's extraction (template +
-    CUPL-descriptor features, prepare_text_features features.py:186-223).
-    First measurement (v5e, bs2048): bf16 22468.5 sent/s = 70% of the
-    32267 sent/s analytic roofline (6.105 GF/sentence,
-    tools/roofline_families.py); int8 24501.8 = only 1.09x bf16 — at
-    K=512, S=77 the per-row quantize VPU passes eat most of the int8
-    MXU win, so the serving default for TEXT stays bf16-adjacent and
-    the int8 line exists as coverage, not as the text headline
-  * ``extract_int8_vitb16_img_per_s``: the W8A8 serving mode (--quant
-    int8, ops.quant) — int8 MXU dots run at 394 TOPS on v5e (2x bf16),
-    so this line's physics ceiling is ~2x the bf16 roofline; feature
-    fidelity vs bf16 is cosine >0.999 (tests/test_quant.py)
-  * ``train_full_finetune_img_per_s``: full-model finetune step at bs128
-    (fwd+bwd+adamw through the tower, finetune.py:120-288 semantics)
-  * ``train_full_finetune_bs512_img_per_s``: the same step at bs512.
-    Measured (tools/exp_train_bs512.py): the FORWARD scales with batch
-    (4176 -> 4739 img/s from bs128 to bs512) but the BACKWARD is
-    batch-invariant (~1520-1540 img/s at both sizes — already at its
-    steady-state composition efficiency at bs128), so the full step is
-    flat across batch (~1115 vs ~1118) and the backward bounds it at
-    ~1350 img/s even with a perfect forward
-  * ``pipeline_img_per_s``: the FULL extraction pipeline on synthetic
-    JPEGs — threaded host decode (native libjpeg) -> threaded uint8
-    host->device transfer (double-buffered) -> jitted forward -> per-
-    batch feature fetch, with per-stage rates reported alongside so
-    regressions (and environment caps) are attributable per stage.
-    ``pipeline_vs_link_bound`` divides the composed rate by the SAME
-    episode's measured post-fetch H2D cap (expressed as img/s in
-    ``pipeline_link_bound_img_per_s``): the relay's cap moves run to
-    run, so the ratio — 0.83-0.84 across runs whose absolute rates
-    differed 2.2x — is the composition-quality signal.
-
-Robustness: the relay has stall episodes (previously-compiled trivial
-programs hanging 15+ min).  main() first health-probes the device path
-in a subprocess and prints an explicit error record if it is
-unresponsive; each family line then runs in its own timeout-bounded
-subprocess (UML_FAMILY_TIMEOUT_S / UML_FAMILY_BUDGET_S) so one stalled
-compile costs that line, never the whole JSON.
+Extras: per-encoder-family extraction lines (CLIP ViT-L/14, DINOv2
+ViT-B/14 and ViT-L/14, DINO ViT-B/8, CLIP RN50 — the reference's other
+first-class encoder choices, engine/config/__init__.py:76-89), text-tower
+lines (sentences/s through the causal CLIP text transformer at its
+77-token context — the other half of features.py's extraction,
+prepare_text_features features.py:186-223), the full-model finetune step
+at bs128/bs512 (finetune.py:120-288 semantics), and the end-to-end
+extraction pipeline (jpeg decode -> transfer -> forward -> fetch,
+cli/features.py's hot loop) with per-stage rates and the same-episode
+link-bound ratio ``pipeline_vs_link_bound``.
 
 Relay rules (tools/exp_poison_trigger.py, exp_poison_bisect2.py,
 exp_fetch_flush.py): through the axon tunnel, the FIRST device->host
@@ -75,57 +59,97 @@ fetch of a process flips it into a post-fetch regime — H2D puts drop
 from ~1400 MB/s to ~30 MB/s for the rest of the process, the switch
 itself flushing ~proportionally to all bytes staged so far; before it,
 compile/dispatch/synced-puts are fast but execution is deferred and
-``block_until_ready`` on compute results is a no-op.  Hidden fetches
-count — e.g. an init arg created on the TPU default device then
-consumed by a cpu-backend jit (the bug that capped this bench's
-pipeline stage for a round).  Hence: init args are created inside the
-cpu context (init_on_cpu takes a thunk), weights stage through host
-numpy, every device input for every benchmark is pre-staged while the
-link is in its fast regime, and the pipeline bench enters the
-post-fetch regime exactly once, outside its timed loop.
+``block_until_ready`` on compute results is a no-op.  Hence: init args
+are created inside the cpu context (init_on_cpu takes a thunk), weights
+stage through host numpy, every device input is pre-staged while the
+link is in its fast regime, and each child process pays the regime
+switch exactly once.  The core child orders headline/train BEFORE the
+pipeline: the pipeline's steady state is the post-fetch regime anyway
+(a real extraction service fetches features every batch), so only the
+regime-A transfer diagnostic is lost by running it after the first
+fetch — and the composition-quality signal (``pipeline_vs_link_bound``)
+divides by the SAME episode's post-fetch link cap, which is unaffected.
+
+The persistent JAX compilation cache (~/.cache/uml_tpu_xla, enabled by
+``import uml_tpu``) means the driver's capture run on the same machine
+hits the cache primed by the previous in-session run — its budget is
+spent measuring, not compiling.
 """
 
 import json
 import os
-import tempfile
+import subprocess
+import sys
 import time
-from collections import deque
-from concurrent.futures import ThreadPoolExecutor
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from uml_tpu.models.clip import build_clip
+# NOTE: the persistent XLA compile cache (~/.cache/uml_tpu_xla) is enabled
+# by ``import uml_tpu`` in every child — warm-cache compiles take seconds
+# vs 1-3 min through the remote-compile relay, so a bench run right after
+# an in-session priming run spends its budget measuring, not compiling.
 
 BASELINE_IMG_PER_S = 5000.0
 # Measured roofline (tools/roofline_clip.py on the v5e chip): the
 # extraction forward executes 34.094 GF/img of real MXU work (2 flops/MAC,
 # incl. the head-pair score packing; the CLS-only final block counted as
-# the kernels execute it — K/V for all rows but Q/scores/out-proj/MLP for
-# 8 rows) against the chip's 197 TF/s bf16 peak — speed of light 5778
-# img/s; the r3 headline measures ~87% of it.  These two constants turn
-# the headline into a physics statement in the output record.
+# the kernels execute it) against the chip's 197 TF/s bf16 peak — speed
+# of light 5778 img/s.
 EXTRACTION_GFLOP_PER_IMG = 34.094
 PEAK_TFLOPS = 197.0
 BATCH = int(os.environ.get("UML_BENCH_BATCH", 2048))
-ITERS = 10
-RUNS = 3
-PIPELINE_BATCH = 512
-PIPELINE_IMAGES = 2048
+ITERS = int(os.environ.get("UML_BENCH_ITERS", 10))
+RUNS = int(os.environ.get("UML_BENCH_RUNS", 3))
+PIPELINE_BATCH = int(os.environ.get("UML_PIPELINE_BATCH", 512))
+PIPELINE_IMAGES = int(os.environ.get("UML_PIPELINE_IMAGES", 2048))
 # extraction-service batch for the family lines: composition efficiency
-# scales with per-dispatch work (B/16 at bs2048 composes to ~87% of
-# roofline; the same kernels at bs512-equivalent work lose a further
-# ~15-20% to fill/drain), so the families bench at the headline's batch
+# scales with per-dispatch work, so families bench at the headline batch
 FAMILY_BATCH = int(os.environ.get("UML_FAMILY_BATCH", 2048))
 SKIP_FAMILIES = os.environ.get("UML_BENCH_FAST") == "1"
+
+TOTAL_BUDGET_S = float(os.environ.get("UML_BENCH_TOTAL_BUDGET_S", 1020))
+SAFETY_S = 15.0
+_START = time.time()
+
+# survey family lines use a shorter dispatch window than the headline
+SURVEY_ITERS = 3
+
+CORE_KEYS = (
+    "extract_bf16_img_per_s",
+    "train_full_finetune_img_per_s",
+    "train_full_finetune_bs512_img_per_s",
+    "pipeline_img_per_s",
+)
+
+# family groups, priority-ordered; each group is one child process (one
+# device init amortized over its keys; the first key of a group is the
+# highest-priority one so a mid-group stall costs the cheaper lines)
+FAMILY_GROUPS = (
+    ("extract_int8_vitb16_img_per_s",),  # the serving-headline candidate
+    ("extract_clip_vitl14_img_per_s", "extract_dinov2_vitl14_img_per_s"),
+    ("extract_dinov2_vitb14_img_per_s", "extract_dino_vitb8_img_per_s"),
+    ("extract_text_bf16_sent_per_s", "extract_text_int8_sent_per_s"),
+    ("extract_clip_rn50_img_per_s",),
+)
+
+
+def _remaining():
+    return TOTAL_BUDGET_S - (time.time() - _START) - SAFETY_S
 
 
 def median(xs):
     return sorted(xs)[len(xs) // 2]
 
 
-def init_on_cpu(init_thunk):
+def _emit(d):
+    """Child-side: stream one metric dict as its own stdout JSON line."""
+    print(json.dumps(d), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# measurement primitives (child-side only — these import jax)
+# ---------------------------------------------------------------------------
+
+
+def init_on_cpu(init_thunk, keep_host=False):
     """Model init on the host CPU backend, then one bulk transfer: a
     jitted init compiles in seconds on CPU, vs ~10 min for the same
     program through the remote-compile relay (and ~1 min eagerly).
@@ -135,18 +159,24 @@ def init_on_cpu(init_thunk):
     Args built at the call site would land on the TPU and the cpu jit
     would pull them device->host, and through the axon relay the FIRST
     D2H fetch of a process permanently collapses every later H2D put
-    ~1400 -> ~35 MB/s (bisected in tools/exp_poison_bisect2.py: the
-    numpy-ified same-tree put stays fast, the arg-on-TPU variant is
-    degraded before any weight even moves).  Staging then goes through
-    host numpy, synced — cheap host copies, one bulk fast-path put."""
+    ~1400 -> ~35 MB/s (bisected in tools/exp_poison_bisect2.py).
+    Staging then goes through host numpy, synced — cheap host copies,
+    one bulk fast-path put.  ``keep_host=True`` returns (device_tree,
+    host_numpy_tree) so donated device buffers can be re-staged later."""
+    import jax
+    import numpy as np
+
     with jax.default_device(jax.devices("cpu")[0]):
         variables = jax.jit(init_thunk)()
-    variables = jax.tree.map(np.asarray, variables)
-    return jax.block_until_ready(
-        jax.device_put(variables, jax.devices()[0]))
+    host_tree = jax.tree.map(np.asarray, variables)
+    dev = jax.block_until_ready(
+        jax.device_put(host_tree, jax.devices()[0]))
+    return (dev, host_tree) if keep_host else dev
 
 
 def make_extract(model):
+    import jax
+
     @jax.jit
     def extract_sum(v, u8):
         feats = model.apply(v, u8, method=lambda m, x: m.encode_image_u8(x))
@@ -159,9 +189,30 @@ def stage_input(batch, flat_dim):
     # flat [B, H*W*3]: a 4D uint8 layout pads the 3-lane dim 42x on TPU.
     # Synced put: see init_on_cpu — unsynced staging trickles ~50x slower
     # and stalls every later transfer behind it.
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     d = jax.device_put(jnp.asarray(
         np.random.default_rng(0).integers(
             0, 256, (batch, flat_dim), dtype=np.uint8)))
+    d.block_until_ready()
+    return d
+
+
+def stage_tokens(batch):
+    """int32 [B, 77] token batch for the text-tower lines.  Random ids
+    with a forced max in the last column so the EOT argmax-pool gathers
+    the same position pattern real tokenized prompts produce (tokenize
+    puts the EOT id — the vocab max — at the sequence end)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(1, 49407, (batch, 77), dtype=np.int32)
+    toks[:, -1] = 49407
+    d = jax.device_put(jnp.asarray(toks))
     d.block_until_ready()
     return d
 
@@ -180,6 +231,9 @@ def device_bench(extract_sum, variables, imgs, iters=ITERS, runs=RUNS):
 
 def _dino_builder(name):
     def build():
+        import jax
+        import jax.numpy as jnp
+
         from uml_tpu.models.dino import DINO_CONFIGS, DinoViT
 
         cfg, _ = DINO_CONFIGS[name]
@@ -191,9 +245,14 @@ def _dino_builder(name):
     return build
 
 
-def _clip_builder(name, reshape=False):
+def _clip_builder(name, reshape=False, quant="none"):
     def build():
-        model = build_clip(name, dtype=jnp.bfloat16)
+        import jax
+        import jax.numpy as jnp
+
+        from uml_tpu.models.clip import build_clip
+
+        model = build_clip(name, dtype=jnp.bfloat16, quant=quant)
         variables = init_on_cpu(lambda: model.init(
             jax.random.key(0),
             jnp.zeros((1, 224, 224, 3), jnp.float32),
@@ -207,24 +266,16 @@ def _clip_builder(name, reshape=False):
     return build
 
 
-def _clip_q8_builder(name):
-    def build():
-        model = build_clip(name, dtype=jnp.bfloat16, quant="int8")
-        variables = init_on_cpu(lambda: model.init(
-            jax.random.key(0),
-            jnp.zeros((1, 224, 224, 3), jnp.float32),
-            jnp.zeros((1, 77), jnp.int32)))
-        return model, variables, lambda m, x: m.encode_image_u8(x)
-    return build
-
-
 def _clip_text_builder(name, quant="none"):
     """Text-tower extraction (features.py's OTHER hot path — template and
     CUPL-descriptor text features, prepare_text_features
-    features.py:186-223; imagenet CUPL alone is ~30k sentences).  The
-    causal fused half-block kernels serve S=77; quant='int8' exercises
-    the W8A8 causal path of ops.quant."""
+    features.py:186-223; imagenet CUPL alone is ~30k sentences)."""
     def build():
+        import jax
+        import jax.numpy as jnp
+
+        from uml_tpu.models.clip import build_clip
+
         model = build_clip(name, dtype=jnp.bfloat16, quant=quant)
         variables = init_on_cpu(lambda: model.init(
             jax.random.key(0),
@@ -236,13 +287,10 @@ def _clip_text_builder(name, quant="none"):
 
 FAMILY_BUILDERS = {
     # W8A8 serving mode (ops.quant): int8 MXU dots at 394 TOPS vs 197
-    # TFLOPs bf16 on v5e — the physics ceiling past the bf16 roofline
-    # the headline already saturates (~87% of 5778 img/s).  Analytic
-    # speed of light for this mode (11 layers' projection matmuls at
-    # 394, attention pair-dots + CLS block + patch embed at 197, same
-    # 34.094 GF/img accounting as the headline): 10503 img/s.  Feature
-    # fidelity vs bf16 is cosine >0.999 (tests/test_quant.py).
-    "extract_int8_vitb16_img_per_s": _clip_q8_builder("ViT-B/16"),
+    # TFLOPs bf16 on v5e.  Analytic speed of light for this mode: 10503
+    # img/s (tools/roofline_families.py).  Feature fidelity vs bf16 is
+    # cosine >0.999 (tests/test_quant.py).
+    "extract_int8_vitb16_img_per_s": _clip_builder("ViT-B/16", quant="int8"),
     "extract_clip_vitl14_img_per_s": _clip_builder("ViT-L/14"),
     "extract_dinov2_vitb14_img_per_s":
         _dino_builder("vit_base_patch14_dinov2.lvd142m"),
@@ -251,7 +299,6 @@ FAMILY_BUILDERS = {
     "extract_dino_vitb8_img_per_s": _dino_builder("vit_base_patch8_224_dino"),
     "extract_clip_rn50_img_per_s": _clip_builder("RN50", reshape=True),
     # text-tower lines: sentences/s through the causal text transformer
-    # (77-token context) — the other half of features.py's extraction
     "extract_text_bf16_sent_per_s": _clip_text_builder("ViT-B/16"),
     "extract_text_int8_sent_per_s": _clip_text_builder("ViT-B/16",
                                                        quant="int8"),
@@ -260,142 +307,131 @@ TEXT_FAMILIES = ("extract_text_bf16_sent_per_s",
                  "extract_text_int8_sent_per_s")
 
 
-def stage_tokens(batch):
-    """int32 [B, 77] token batch for the text-tower lines.  Random ids
-    with a forced max in the last column so the EOT argmax-pool gathers
-    the same position pattern real tokenized prompts produce (tokenize
-    puts the EOT id — the vocab max — at the sequence end)."""
-    rng = np.random.default_rng(0)
-    toks = rng.integers(1, 49407, (batch, 77), dtype=np.int32)
-    toks[:, -1] = 49407
-    d = jax.device_put(jnp.asarray(toks))
-    d.block_until_ready()
-    return d
-# one relay compile can stall for 15+ min in bad episodes; each family
-# line runs in its own subprocess under this timeout so a stall costs
-# that line (an "error: timeout" string), never the whole bench JSON
-FAMILY_TIMEOUT_S = int(os.environ.get("UML_FAMILY_TIMEOUT_S", 420))
-# 1900 s: the int8 line made 7 families and the text-tower pair 9; two
-# worst-case relay compile stalls (2 x 420 s) must still leave room for
-# the other lines (~90 s each warm; the text lines are lighter still)
-FAMILY_BUDGET_S = int(os.environ.get("UML_FAMILY_BUDGET_S", 1900))
+# ---------------------------------------------------------------------------
+# child entry points
+# ---------------------------------------------------------------------------
 
 
 def run_probe():
     """Child-process entry: one trivial put + jit + fetch, prints ok."""
+    import jax
+    import jax.numpy as jnp
+
     x = jax.device_put(jnp.ones((256, 256), jnp.float32))
     print("ok", float(jax.jit(lambda a: (a @ a).sum())(x)))
 
 
-def relay_healthy(timeout_s=None):
-    """Probe the device path in a SUBPROCESS (an in-process fetch would
-    flip the relay into its post-fetch regime and cap the headline's
-    staging ~30 MB/s).  The relay has documented stall episodes where
-    even previously-compiled trivial programs hang for 15+ min; when
-    that happens the bench must print an explicit error record, not
-    hang past the driver's patience."""
-    import subprocess
-    import sys
+def run_core():
+    """Child: the proven single-process measurement path (the shape of the
+    round-2 bench that captured fine) — stage everything in the fast
+    pre-fetch regime, then headline bf16 -> train bs128 -> train bs512 ->
+    pipeline, streaming each metric as soon as it is measured and
+    checking the child budget (``UML_CORE_BUDGET_S``) before each
+    optional segment."""
+    t_child = time.time()
+    budget = float(os.environ.get("UML_CORE_BUDGET_S", 1e9))
+    lean = os.environ.get("UML_CORE_LEAN") == "1"
 
-    timeout_s = timeout_s or int(os.environ.get("UML_PROBE_TIMEOUT_S", 420))
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "UML_BENCH_PROBE": "1"},
-            capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
-    except Exception:
-        return False
+    def left():
+        return budget - (time.time() - t_child)
 
+    import jax
+    import jax.numpy as jnp
 
-def run_single_family(key):
-    """Child-process entry: build + measure ONE family tower and print
-    the img/s as the last stdout line.  A fresh process also stages its
-    ~1 GB of weights in the relay's fast pre-fetch regime (the parent
-    has long since fetched results and is capped ~30 MB/s)."""
-    model, variables, method = FAMILY_BUILDERS[key]()
+    from uml_tpu.models.clip import build_clip
 
-    @jax.jit
-    def extract(v, u8):
-        return model.apply(v, u8, method=method).sum()
+    model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
+                       attn_impl=os.environ.get("UML_ATTN", "auto"))
+    variables, host_vars = init_on_cpu(lambda: model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32),
+    ), keep_host=True)
+    extract_sum = make_extract(model)
+    extract_pipe = make_extract(model)  # separate jit cache entry per shape
 
-    if key in TEXT_FAMILIES:
-        imgs = stage_tokens(FAMILY_BATCH)
+    # pre-stage every device input while the H2D link is fast
+    headline_imgs = stage_input(BATCH, 224 * 224 * 3)
+    train_u8 = stage_input(128, 224 * 224 * 3)
+    train_u8_512 = None if lean else stage_input(512, 224 * 224 * 3)
+
+    _emit({"extract_bf16_img_per_s":
+           round(device_bench(extract_sum, variables, headline_imgs), 1)})
+
+    do_512 = train_u8_512 is not None and left() > 240
+    rates = train_bench(model, variables,
+                        [train_u8] + ([train_u8_512] if do_512 else []))
+    _emit({"train_full_finetune_img_per_s": round(rates[0], 1)})
+    if do_512:
+        _emit({"train_full_finetune_bs512_img_per_s": round(rates[1], 1)})
+
+    if not lean and left() > 200:
+        # the train step DONATED the visual params (deleting those device
+        # buffers) — re-stage them from the kept host copy (~6 s at the
+        # post-fetch link rate, far cheaper than a fresh device init)
+        visual = jax.device_put(host_vars["params"]["visual"],
+                                jax.devices()[0])
+        variables = {**variables,
+                     "params": {**variables["params"], "visual": visual}}
+        pipe = pipeline_bench(extract_pipe, variables)
+        if pipe is not None:
+            _emit(pipe)
     else:
-        imgs = stage_input(FAMILY_BATCH, 224 * 224 * 3)
-    # the int8 line is the serving-headline candidate: measure it with
-    # the headline's own dispatch depth; the survey lines use a shorter
-    # window (they only need ~2-sig-fig family coverage)
-    iters = ITERS if key == "extract_int8_vitb16_img_per_s" else 5
-    print(round(device_bench(extract, variables, imgs, iters=iters), 1))
+        print("core: pipeline skipped (budget)", file=sys.stderr)
 
 
-def family_bench():
-    """Run every family line in its own timeout-bounded subprocess."""
-    import subprocess
-    import sys
-
-    out = {}
-    deadline = time.time() + FAMILY_BUDGET_S
-
-    def run_one(key):
-        if time.time() > deadline:
-            return "skipped: family budget exhausted"
+def run_families_child(keys):
+    """Child: build + measure the listed family towers sequentially,
+    streaming one JSON line per key.  One device init amortized over the
+    group; after the first fetch the process is in the post-fetch regime,
+    so later keys' weights stage at the capped rate (~20-40 s for the
+    large towers) — still far cheaper than a fresh device init, and a
+    per-key exception costs that key only."""
+    budget = float(os.environ.get("UML_FAMILY_CHILD_BUDGET_S", 1e9))
+    t_child = time.time()
+    for key in keys:
+        if time.time() - t_child > budget:
+            print(f"family child: {key} skipped (budget)", file=sys.stderr)
+            continue
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "UML_BENCH_FAMILY": key},
-                capture_output=True, text=True,
-                timeout=min(FAMILY_TIMEOUT_S, max(30, deadline - time.time())))
-            if r.returncode == 0 and r.stdout.strip():
-                return float(r.stdout.strip().splitlines()[-1])
-            lines = (r.stderr or r.stdout).strip().splitlines()
-            tail = lines[-1] if lines else ""
-            return f"error: rc={r.returncode} {tail}"[:120]
-        except subprocess.TimeoutExpired:
-            return "error: timeout (relay compile stall)"
-        except Exception as e:
-            return f"error: {type(e).__name__}: {e}"[:120]
+            model, variables, method = FAMILY_BUILDERS[key]()
+            import jax
 
-    # the int8 line is the serving-headline candidate (see main): give it
-    # an IMMEDIATE retry if its first subprocess hits a relay stall — a
-    # stalled survey line costs a survey line, a stalled headline costs
-    # the round.  Survey lines get their retry only in the second pass
-    # below, from leftover budget, so a retry never starves a first run.
-    for key in FAMILY_BUILDERS:
-        out[key] = run_one(key)
-        if (key == "extract_int8_vitb16_img_per_s"
-                and not isinstance(out[key], float)
-                and time.time() < deadline):
-            out[key] = run_one(key)
-    for key in FAMILY_BUILDERS:  # relay stalls are episodic; one more try
-        if time.time() > deadline:
-            break
-        if isinstance(out[key], str) and out[key].startswith("error"):
-            second = run_one(key)
-            if isinstance(second, float):
-                out[key] = second
-    return out
+            @jax.jit
+            def extract(v, u8, model=model, method=method):
+                return model.apply(v, u8, method=method).sum()
+
+            if key in TEXT_FAMILIES:
+                imgs = stage_tokens(FAMILY_BATCH)
+            else:
+                imgs = stage_input(FAMILY_BATCH, 224 * 224 * 3)
+            iters = (ITERS if key == "extract_int8_vitb16_img_per_s"
+                     else SURVEY_ITERS)
+            _emit({key: round(
+                device_bench(extract, variables, imgs, iters=iters), 1)})
+        except Exception as e:  # pragma: no cover - device-path only
+            print(f"family child: {key} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
 
 def pipeline_bench(extract_sum, variables):
     """Synthetic JPEGs -> threaded decode -> threaded transfer -> forward
     -> per-batch feature fetch (exactly cli/features.py's hot loop).
 
-    The axon relay has two regimes (tools/exp_fetch_flush.py): before the
-    first D2H value fetch of a process, H2D puts run ~1.4 GB/s but
-    execution is deferred (block_until_ready on compute is a no-op) and
-    the first fetch pays a flush ~proportional to staged bytes; after it,
-    fetches are cheap (~30 ms) but every H2D put is capped ~30 MB/s for
-    the rest of the process.  A real extraction service fetches features
-    every batch, so its steady state is the POST-fetch regime — the
-    composed number reported here.  The per-stage rates (decode, regime-A
-    transfer, regime-B transfer, device forward) are reported alongside
-    as the measured proof of where this environment caps the
-    composition; on real TPU hosts (PCIe H2D, no mode-switching relay)
-    the same loop is decode- or device-bound instead."""
+    Runs after the process's first fetch (the headline measured first),
+    so the whole pipeline lives in the relay's post-fetch regime — which
+    is also a real extraction service's steady state (it fetches features
+    every batch).  ``pipeline_vs_link_bound`` divides the composed rate
+    by the SAME episode's measured post-fetch H2D cap (expressed as
+    img/s in ``pipeline_link_bound_img_per_s``): the relay's cap moves
+    run to run, so the ratio is the composition-quality signal."""
+    import tempfile
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import numpy as np
+
     from uml_tpu.data.loader import ImageBatchLoader
 
     try:
@@ -417,7 +453,7 @@ def pipeline_bench(extract_sum, variables):
              for i in range(PIPELINE_IMAGES)]
     batch_mb = PIPELINE_BATCH * 224 * 224 * 3 / 2**20
 
-    # stage rates: host decode, then regime-A (pre-fetch) transfer
+    # host decode stage rate
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
                               prefetch=4)
     t0 = time.time()
@@ -432,21 +468,13 @@ def pipeline_bench(extract_sum, variables):
         d.block_until_ready()
         return d
 
+    # post-fetch H2D link cap for THIS episode (the process fetched during
+    # the headline, so this measures the steady-state regime directly)
     t0 = time.time()
-    staged = [xfer(f) for f in host_batches]
-    transfer_a_rate = PIPELINE_IMAGES / (time.time() - t0)
-
-    # compile the forward (no fetch), then enter the post-fetch regime
-    # once, outside the timed loop — the flush is a fixed process-lifetime
-    # cost ~proportional to every byte staged so far, not a per-batch cost
-    out = extract_sum(variables, staged[0])
-    out.block_until_ready()
-    t0 = time.time()
-    float(out)
-    flush_s = time.time() - t0
-    t0 = time.time()
-    xfer(host_batches[0])
+    staged0 = xfer(host_batches[0])
     transfer_b_mbps = batch_mb / (time.time() - t0)
+    # compile the pipeline-shape forward
+    float(extract_sum(variables, staged0))
 
     # steady-state composed pipeline: decode prefetch -> transfer thread
     # (lag 2) -> forward -> fetch features one batch behind
@@ -469,20 +497,20 @@ def pipeline_bench(extract_sum, variables):
         for o in outs[fetched:]:
             float(o)
         pipe_rate = PIPELINE_IMAGES / (time.time() - t0)
-    # the post-fetch H2D cap expressed as an image rate: the composed
-    # loop's ceiling in THIS episode (the relay's cap moves run to run,
-    # so the ratio — not the absolute rate — is the composition-quality
-    # signal; the probe is one batch, the loop minutes, so a mid-loop
-    # link-speed move shows up as ratio variance across rounds)
     link_bound = transfer_b_mbps * 2**20 / (224 * 224 * 3)
+    # the composed loop's ceiling in THIS episode is its BINDING stage:
+    # usually the relay's post-fetch H2D cap, but when the host is busy
+    # (or on a decode-heavy box) the jpeg decode rate binds instead —
+    # dividing by min() keeps the ratio a composition-quality signal
+    # under either weather
+    bound = min(link_bound, decode_rate)
     return {
         "pipeline_img_per_s": round(pipe_rate, 1),
         "pipeline_host_decode_img_per_s": round(decode_rate, 1),
-        "pipeline_transfer_img_per_s": round(transfer_a_rate, 1),
         "pipeline_transfer_postfetch_MBps": round(transfer_b_mbps, 1),
         "pipeline_link_bound_img_per_s": round(link_bound, 1),
-        "pipeline_vs_link_bound": round(pipe_rate / link_bound, 2),
-        "pipeline_first_fetch_flush_s": round(flush_s, 1),
+        "pipeline_bound_img_per_s": round(bound, 1),
+        "pipeline_vs_link_bound": round(pipe_rate / bound, 2),
     }
 
 
@@ -501,11 +529,12 @@ def train_bench(model, variables, u8_batches):
     The optimizer covers the image tower + classifier head ONLY — the
     reference's actual finetune surface (finetune.py:337-346 builds
     UMLClip from the image encoder; text enters as precomputed .pth
-    features and the text transformer is never trained).  Grads/adamw
-    over the unused text tower cost a measured +4 ms/step
-    (tools/exp_step_variants.py: 119.4 -> 115.3 ms)."""
+    features and the text transformer is never trained)."""
     import functools
 
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
     import optax
 
     rng = np.random.default_rng(0)
@@ -549,8 +578,157 @@ def train_bench(model, variables, u8_batches):
     return out
 
 
+# ---------------------------------------------------------------------------
+# parent orchestrator
+# ---------------------------------------------------------------------------
+
+
+def _parse_stream(text):
+    """Merge every JSON-dict line a child emitted (ignores warnings)."""
+    out = {}
+    for line in (text or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(d, dict):
+                out.update(d)
+    return out
+
+
+def run_child(extra_env, timeout_s):
+    """Launch this file as a child with ``extra_env``; return
+    (merged_metrics, status).  A timeout kill still yields whatever
+    metric lines the child streamed before dying."""
+    env = {**os.environ, **extra_env}
+    name = extra_env.get("UML_BENCH_FAMILY") or next(iter(extra_env))
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s)
+        status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+        stdout = r.stdout
+        if r.stderr:
+            sys.stderr.write(r.stderr[-2000:])
+    except subprocess.TimeoutExpired as e:
+        status = "timeout"
+        stdout = e.stdout
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+    except Exception as e:  # pragma: no cover
+        return {}, f"error: {type(e).__name__}: {e}"
+    print(f"bench: child {name} {status} in {time.time() - t0:.0f}s "
+          f"(timeout {timeout_s:.0f}s, total elapsed "
+          f"{time.time() - _START:.0f}s)", file=sys.stderr)
+    return _parse_stream(stdout), status
+
+
+def probe_relay():
+    """Health-probe the device path in a bounded child.  The relay has
+    documented stall episodes where even previously-compiled trivial
+    programs hang 15+ min; when that happens the bench must print an
+    explicit error record, not hang past the driver's patience."""
+    timeout_s = min(float(os.environ.get("UML_PROBE_TIMEOUT_S", 270)),
+                    max(60.0, _remaining() - 600))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "UML_BENCH_PROBE": "1"},
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
+def family_bench(groups=FAMILY_GROUPS, deadline_fn=_remaining):
+    """Run the family groups, each in its own bounded child.  The int8
+    serving line (first group) gets one IMMEDIATE retry on failure — a
+    stalled survey line costs a survey line, a stalled headline candidate
+    costs the round.  Whatever doesn't fit the deadline is shed."""
+    metrics, shed = {}, []
+    per_group_cap = float(os.environ.get("UML_FAMILY_TIMEOUT_S", 420))
+    for gi, group in enumerate(groups):
+        rem = deadline_fn()
+        min_needed = 90 + 30 * len(group)  # init + a line each, optimistic
+        if rem < min_needed:
+            shed.extend(k for k in group if k not in metrics)
+            continue
+        timeout_s = min(per_group_cap, rem - 10)
+        env = {"UML_BENCH_FAMILY": ",".join(group),
+               "UML_FAMILY_CHILD_BUDGET_S": str(timeout_s - 5)}
+        got, status = run_child(env, timeout_s)
+        metrics.update(got)
+        is_headline_group = group[0] == "extract_int8_vitb16_img_per_s"
+        missing = [k for k in group if k not in metrics]
+        if missing and is_headline_group and deadline_fn() > min_needed:
+            got, status = run_child(env, min(per_group_cap,
+                                             deadline_fn() - 10))
+            metrics.update(got)
+            missing = [k for k in group if k not in metrics]
+        shed.extend(missing)
+    return metrics, shed
+
+
+def compose_record(metrics, shed=()):
+    """Assemble the one-line bench JSON (unit-tested: the primary value
+    is the fastest serving configuration measured in THIS bench — the
+    int8 W8A8 line when it beats bf16, with the bf16 parity-exact number
+    always alongside; a missing int8 line falls back to bf16)."""
+    speed_of_light = PEAK_TFLOPS * 1e3 / EXTRACTION_GFLOP_PER_IMG
+    bf16 = metrics.get("extract_bf16_img_per_s")
+    int8 = metrics.get("extract_int8_vitb16_img_per_s")
+    int8 = int8 if isinstance(int8, (int, float)) else None
+    bf16 = bf16 if isinstance(bf16, (int, float)) else None
+    if int8 is not None and (bf16 is None or int8 > bf16):
+        value, serving = int8, (
+            "int8 W8A8 half-block kernels (--quant int8, ops.quant): "
+            "feature cosine >0.999 vs bf16 (tests/test_quant.py); the "
+            "parity-exact bf16 path is extract_bf16_img_per_s")
+    elif bf16 is not None:
+        value, serving = bf16, (
+            "bf16 fused half-block kernels (the parity-exact path)")
+    else:
+        value, serving = 0.0, "error: no extraction line measured"
+    record = {
+        "metric": "clip_vitb16_feature_extraction_throughput",
+        "value": round(value, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(value / BASELINE_IMG_PER_S, 4),
+        "serving_config": serving,
+        "methodology": f"median of {RUNS} runs x {ITERS} dispatches; "
+                       f"global budget {int(TOTAL_BUDGET_S)}s",
+    }
+    if bf16 is not None:
+        record.update({
+            "bf16_vs_baseline": round(bf16 / BASELINE_IMG_PER_S, 4),
+            "bf16_roofline_fraction": round(bf16 / speed_of_light, 3),
+            "bf16_speed_of_light_img_per_s": round(speed_of_light, 0),
+            "roofline_note": (
+                "measured 34.094 GF/img real MXU work vs 197 TF/s bf16 "
+                "peak (tools/roofline_clip.py); 100% bf16 roofline = "
+                "5778 img/s on one v5e chip; the int8 serving mode's "
+                "analytic speed of light is 10503 img/s (394 TOPS int8 "
+                "MXU rate)"),
+        })
+    record.update(metrics)
+    if "pipeline_img_per_s" in record:
+        record["pipeline_note"] = (
+            "jpeg decode->transfer->forward->fetch streaming "
+            "(cli/features.py's hot loop); steady state sits in the "
+            "relay's post-fetch regime, H2D capped ~30 MB/s by the "
+            "tunnel — pipeline_vs_link_bound is the composed rate vs "
+            "the SAME episode's measured link cap")
+    if shed:
+        record["shed"] = sorted(shed)
+    record["elapsed_s"] = round(time.time() - _START, 1)
+    return record
+
+
 def main():
-    if not relay_healthy():
+    if not probe_relay():
         print(json.dumps({
             "metric": "clip_vitb16_feature_extraction_throughput",
             "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
@@ -558,93 +736,46 @@ def main():
                 "device relay unresponsive: a trivial put+jit+fetch in a "
                 "fresh subprocess did not complete within the probe "
                 "timeout — environment outage, not a framework "
-                "regression (last good: 6562 img/s int8 serving, "
-                "4987-5019 img/s bf16 = ~87% of the 5778 img/s bf16 "
+                "regression (last good: 6562+ img/s int8 serving, "
+                "~5019 img/s bf16 = ~87% of the 5778 img/s bf16 "
                 "roofline)")}))
         return
-    # UML_ATTN lets perf experiments A/B attention layouts without edits
-    model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
-                       attn_impl=os.environ.get("UML_ATTN", "auto"))
-    variables = init_on_cpu(lambda: model.init(
-        jax.random.key(0),
-        jnp.zeros((1, 224, 224, 3), jnp.float32),
-        jnp.zeros((1, 77), jnp.int32),
-    ))
-    extract_sum = make_extract(model)
-    extract_pipe = make_extract(model)  # separate jit cache entry per shape
 
-    # pre-stage the headline/train inputs while the H2D link is in its
-    # fast pre-fetch regime; the pipeline bench then performs the
-    # process's regime switch (one-time flush) inside its own untimed
-    # setup, and the family towers run in their own subprocesses after
-    headline_imgs = stage_input(BATCH, 224 * 224 * 3)
-    train_u8 = stage_input(128, 224 * 224 * 3)
-    train_u8_512 = stage_input(512, 224 * 224 * 3)
+    metrics, shed = {}, []
 
-    pipe = pipeline_bench(extract_pipe, variables)
-    img_per_s = device_bench(extract_sum, variables, headline_imgs)
-    # ONE call for both batch sizes: the step donates the param buffers
-    # (which alias ``variables``), so a second call would see deleted
-    # arrays; family towers run in subprocesses and are unaffected
-    train_rate, train_rate_512 = train_bench(
-        model, variables, [train_u8, train_u8_512])
-    families = {} if SKIP_FAMILIES else family_bench()
+    # core: headline bf16 -> train -> pipeline, one child (one device
+    # init), streaming; reserve budget for the int8 serving line after
+    core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 660)),
+                       max(120.0, _remaining() - 240))
+    got, status = run_child(
+        {"UML_BENCH_CORE": "1", "UML_CORE_BUDGET_S": str(core_timeout - 5)},
+        core_timeout)
+    metrics.update(got)
+    if "extract_bf16_img_per_s" not in metrics and _remaining() > 420:
+        # full core failure: one lean retry (headline + train only)
+        got, status = run_child(
+            {"UML_BENCH_CORE": "1", "UML_CORE_LEAN": "1",
+             "UML_CORE_BUDGET_S": str(min(390.0, _remaining() - 200))},
+            min(400.0, _remaining() - 190))
+        metrics.update(got)
+    shed.extend(k for k in CORE_KEYS if k not in metrics)
 
-    print(json.dumps(compose_record(img_per_s, train_rate, train_rate_512,
-                                    families, pipe)))
+    groups = FAMILY_GROUPS[:1] if SKIP_FAMILIES else FAMILY_GROUPS
+    fam_metrics, fam_shed = family_bench(groups)
+    metrics.update(fam_metrics)
+    shed.extend(fam_shed)
+    if SKIP_FAMILIES:
+        shed.extend(k for g in FAMILY_GROUPS[1:] for k in g)
 
-
-def compose_record(img_per_s, train_rate, train_rate_512, families, pipe):
-    """Assemble the one-line bench JSON (unit-tested: the primary value
-    is the fastest serving configuration measured in THIS bench — the
-    int8 W8A8 line when it beats bf16, with the bf16 parity-exact number
-    always alongside; any int8 error string falls back to bf16)."""
-    speed_of_light = PEAK_TFLOPS * 1e3 / EXTRACTION_GFLOP_PER_IMG
-    int8_rate = families.get("extract_int8_vitb16_img_per_s")
-    int8_serving = isinstance(int8_rate, float) and int8_rate > img_per_s
-    value = int8_rate if int8_serving else img_per_s
-    record = {
-        "metric": "clip_vitb16_feature_extraction_throughput",
-        "value": round(value, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(value / BASELINE_IMG_PER_S, 4),
-        "serving_config": (
-            "int8 W8A8 half-block kernels (--quant int8, ops.quant): "
-            "feature cosine >0.999 vs bf16 (tests/test_quant.py); the "
-            "parity-exact bf16 path is extract_bf16_img_per_s"
-            if int8_serving else
-            "bf16 fused half-block kernels (the parity-exact path)"),
-        "methodology": f"median of {RUNS} runs x {ITERS} dispatches",
-        "extract_bf16_img_per_s": round(img_per_s, 1),
-        "bf16_vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 4),
-        "bf16_roofline_fraction": round(img_per_s / speed_of_light, 3),
-        "bf16_speed_of_light_img_per_s": round(speed_of_light, 0),
-        "roofline_note": (
-            "measured 34.094 GF/img real MXU work vs 197 TF/s bf16 peak "
-            "(tools/roofline_clip.py); 100% bf16 roofline = 5778 img/s "
-            "on one v5e chip, so the bf16 path runs within ~13% of the "
-            "hardware's physical limit for this model and the serving "
-            "headline's additional margin comes from the int8 MXU rate "
-            "(394 TOPS, analytic int8-mode speed of light 10503 img/s)"),
-        "train_full_finetune_img_per_s": round(train_rate, 1),
-        "train_full_finetune_bs512_img_per_s": round(train_rate_512, 1),
-        **families,
-    }
-    if pipe is not None:
-        record.update(pipe)
-        record["pipeline_note"] = (
-            "jpeg decode->transfer->forward->fetch streaming "
-            "(cli/features.py's hot loop); steady state sits in the "
-            "relay's post-fetch regime, H2D capped ~30 MB/s by the "
-            "tunnel — see pipeline_transfer_postfetch_MBps vs the "
-            "pre-fetch pipeline_transfer_img_per_s for the env cap proof")
-    return record
+    print(json.dumps(compose_record(metrics, shed)))
 
 
 if __name__ == "__main__":
     if os.environ.get("UML_BENCH_PROBE"):
         run_probe()
+    elif os.environ.get("UML_BENCH_CORE"):
+        run_core()
     elif os.environ.get("UML_BENCH_FAMILY"):
-        run_single_family(os.environ["UML_BENCH_FAMILY"])
+        run_families_child(os.environ["UML_BENCH_FAMILY"].split(","))
     else:
         main()

@@ -26,3 +26,17 @@ jax.config.update("jax_enable_x64", False)
 assert len(jax.devices()) == 8, (
     f"tests expect 8 virtual CPU devices, got {jax.devices()}"
 )
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(items):
+    """Tier the suite: anything not explicitly marked heavy/slow is fast.
+
+    `pytest -m fast` is the bounded-time tier (<120 s, covers every
+    module); `pytest -m "heavy and not slow"` the mid tier; `-m slow`
+    the reference-parity subprocess tests.  Plain `pytest tests/` runs
+    everything (timing documented in README)."""
+    for item in items:
+        if not any(m.name in ("heavy", "slow") for m in item.iter_markers()):
+            item.add_marker(pytest.mark.fast)

@@ -1,59 +1,70 @@
-"""Unit tests for bench.compose_record — the one-line bench JSON contract.
+"""Unit tests for bench.py's orchestration layer — the one-line JSON
+contract, the streaming-child parser, the budget/shed logic, and the
+headline selection.
 
 The driver parses exactly one JSON line per bench run; ``value`` must be
 the fastest serving configuration measured in THAT bench (the int8 W8A8
 line when it beats bf16), with the parity-exact bf16 number always
-reported alongside, and any int8 failure (error string, missing line)
-falling back to bf16.  These tests pin that selection logic down without
+reported alongside, and any int8 failure (missing line) falling back to
+bf16.  Children stream each metric as its own JSON line so a timeout
+kill costs only the un-emitted lines.  These tests pin that down without
 touching a device.
 """
 
 import json
+import subprocess
 
 import bench
 
 
-def _record(**kw):
-    defaults = dict(img_per_s=5019.0, train_rate=1116.0,
-                    train_rate_512=1118.0, families={}, pipe=None)
-    defaults.update(kw)
-    return bench.compose_record(**defaults)
+def _record(metrics=None, shed=()):
+    base = {"extract_bf16_img_per_s": 5019.0,
+            "train_full_finetune_img_per_s": 1116.0}
+    base.update(metrics or {})
+    return bench.compose_record(base, shed)
 
 
 def test_int8_faster_becomes_primary_value():
-    rec = _record(families={"extract_int8_vitb16_img_per_s": 6600.0})
+    rec = _record({"extract_int8_vitb16_img_per_s": 6600.0})
     assert rec["value"] == 6600.0
     assert "int8" in rec["serving_config"]
     # the parity-exact bf16 number rides alongside, with its roofline
     assert rec["extract_bf16_img_per_s"] == 5019.0
-    assert 0 < rec["bf16_roofline_fraction"] < 1
+    assert 0 < rec["bf16_roofline_fraction"] < 1.1
     assert rec["vs_baseline"] == round(6600.0 / bench.BASELINE_IMG_PER_S, 4)
 
 
 def test_int8_slower_falls_back_to_bf16():
-    rec = _record(families={"extract_int8_vitb16_img_per_s": 4000.0})
+    rec = _record({"extract_int8_vitb16_img_per_s": 4000.0})
     assert rec["value"] == 5019.0
     assert "bf16" in rec["serving_config"]
 
 
-def test_int8_error_string_falls_back_to_bf16():
-    # a stalled/failed family subprocess reports an error string, not a
-    # float — it must never be selected as the headline
-    rec = _record(families={"extract_int8_vitb16_img_per_s":
-                            "error: subprocess timeout"})
-    assert rec["value"] == 5019.0
-    assert rec["vs_baseline"] == round(5019.0 / bench.BASELINE_IMG_PER_S, 4)
-
-
 def test_int8_missing_falls_back_to_bf16():
-    rec = _record(families={})
+    rec = _record()
     assert rec["value"] == 5019.0
+    assert "bf16" in rec["serving_config"]
 
 
-def test_pipe_merged_and_json_serializable():
-    pipe = {"pipeline_img_per_s": 176.1,
-            "pipeline_host_decode_img_per_s": 442.9}
-    rec = _record(pipe=pipe)
+def test_bf16_missing_int8_carries_the_headline():
+    # a core-child stall must not zero the record when the int8 serving
+    # line (its own child) still measured
+    rec = bench.compose_record({"extract_int8_vitb16_img_per_s": 6600.0},
+                               ["extract_bf16_img_per_s"])
+    assert rec["value"] == 6600.0
+    assert "extract_bf16_img_per_s" in rec["shed"]
+
+
+def test_nothing_measured_yields_explicit_error_record():
+    rec = bench.compose_record({}, list(bench.CORE_KEYS))
+    assert rec["value"] == 0.0
+    assert rec["serving_config"].startswith("error")
+    assert json.loads(json.dumps(rec))["vs_baseline"] == 0.0
+
+
+def test_pipeline_keys_merged_and_note_added():
+    rec = _record({"pipeline_img_per_s": 176.1,
+                   "pipeline_vs_link_bound": 0.91})
     assert rec["pipeline_img_per_s"] == 176.1
     assert "pipeline_note" in rec
     # the driver contract: the record is one parseable JSON object
@@ -61,10 +72,31 @@ def test_pipe_merged_and_json_serializable():
         "clip_vitb16_feature_extraction_throughput"
 
 
-def test_no_pipe_no_pipeline_note():
-    rec = _record(pipe=None)
+def test_no_pipeline_no_note():
+    rec = _record()
     assert "pipeline_note" not in rec
     assert "pipeline_img_per_s" not in rec
+
+
+def test_shed_listed_sorted_and_elapsed_present():
+    rec = _record(shed=["b_metric", "a_metric"])
+    assert rec["shed"] == ["a_metric", "b_metric"]
+    assert "elapsed_s" in rec
+
+
+def test_parse_stream_merges_json_lines_and_ignores_noise():
+    text = ("WARNING: platform axon is experimental\n"
+            '{"extract_bf16_img_per_s": 5019.0}\n'
+            "some stray line { not json\n"
+            '{"train_full_finetune_img_per_s": 1116.0, "extra": 1}\n')
+    out = bench._parse_stream(text)
+    assert out == {"extract_bf16_img_per_s": 5019.0,
+                   "train_full_finetune_img_per_s": 1116.0, "extra": 1}
+
+
+def test_parse_stream_handles_none_and_empty():
+    assert bench._parse_stream(None) == {}
+    assert bench._parse_stream("") == {}
 
 
 class _FakeCompleted:
@@ -72,74 +104,74 @@ class _FakeCompleted:
         self.returncode, self.stdout, self.stderr = rc, stdout, stderr
 
 
-def _patch_family_runs(monkeypatch, outcomes, calls):
-    """outcomes: key -> list of per-attempt results ('ok:<val>' or 'fail');
-    records the attempt order in ``calls``."""
-    import subprocess
-
+def _patch_children(monkeypatch, outcomes, calls):
+    """outcomes: group-key-string -> list of per-attempt stdouts; records
+    the attempt order (the UML_BENCH_FAMILY env value) in ``calls``."""
     def fake_run(cmd, env=None, **kw):
         key = env["UML_BENCH_FAMILY"]
         calls.append(key)
-        plan = outcomes.get(key, ["ok:100.0"])
+        plan = outcomes.get(key, ["{}"])
         step = plan.pop(0) if len(plan) > 1 else plan[0]
-        if step == "fail":
-            return _FakeCompleted(1, "", "boom")
-        return _FakeCompleted(0, step.split(":")[1] + "\n")
+        return _FakeCompleted(0, step)
 
     monkeypatch.setattr(subprocess, "run", fake_run)
 
 
-def test_family_survey_line_retried_from_leftover_budget(monkeypatch):
-    calls = []
-    _patch_family_runs(
-        monkeypatch,
-        {"extract_dinov2_vitl14_img_per_s": ["fail", "ok:958.0"]}, calls)
-    out = bench.family_bench()
-    assert out["extract_dinov2_vitl14_img_per_s"] == 958.0
-    # the retry happens AFTER every key's first attempt (second pass)
-    first_attempts = calls[: len(bench.FAMILY_BUILDERS)]
-    assert sorted(first_attempts) == sorted(bench.FAMILY_BUILDERS)
-    assert calls[-1] == "extract_dinov2_vitl14_img_per_s"
-
-
 def test_family_headline_retried_immediately(monkeypatch):
     calls = []
-    _patch_family_runs(
+    key = "extract_int8_vitb16_img_per_s"
+    _patch_children(
         monkeypatch,
-        {"extract_int8_vitb16_img_per_s": ["fail", "ok:6600.0"]}, calls)
-    out = bench.family_bench()
-    assert out["extract_int8_vitb16_img_per_s"] == 6600.0
-    # the headline candidate's retry precedes the survey lines' first run
-    assert calls[0] == calls[1] == "extract_int8_vitb16_img_per_s"
+        {key: ["", json.dumps({key: 6600.0})]}, calls)
+    metrics, shed = bench.family_bench(
+        groups=((key,),), deadline_fn=lambda: 1000.0)
+    assert metrics[key] == 6600.0
+    assert calls == [key, key]
+    assert shed == []
 
 
-def test_family_persistent_failure_keeps_error_string(monkeypatch):
+def test_family_group_partial_result_sheds_missing(monkeypatch):
     calls = []
-    _patch_family_runs(
-        monkeypatch, {"extract_clip_rn50_img_per_s": ["fail", "fail"]},
-        calls)
-    out = bench.family_bench()
-    assert isinstance(out["extract_clip_rn50_img_per_s"], str)
-    assert out["extract_clip_rn50_img_per_s"].startswith("error")
+    group = ("extract_clip_vitl14_img_per_s",
+             "extract_dinov2_vitl14_img_per_s")
+    _patch_children(
+        monkeypatch,
+        {",".join(group):
+         [json.dumps({group[0]: 958.0})]}, calls)
+    metrics, shed = bench.family_bench(
+        groups=(group,), deadline_fn=lambda: 1000.0)
+    assert metrics[group[0]] == 958.0
+    assert shed == [group[1]]
+    # survey groups get no immediate retry
+    assert calls == [",".join(group)]
 
 
-def test_text_family_keys_and_token_staging():
-    # the text-tower lines dispatch token staging instead of image bytes;
-    # every TEXT_FAMILIES key must exist in the builder registry
+def test_family_deadline_sheds_whole_group(monkeypatch):
+    calls = []
+    _patch_children(monkeypatch, {}, calls)
+    group = ("extract_text_bf16_sent_per_s", "extract_text_int8_sent_per_s")
+    metrics, shed = bench.family_bench(
+        groups=(group,), deadline_fn=lambda: 30.0)
+    assert metrics == {}
+    assert sorted(shed) == sorted(group)
+    assert calls == []  # never launched
+
+
+def test_family_groups_cover_all_builders():
+    grouped = [k for g in bench.FAMILY_GROUPS for k in g]
+    assert sorted(grouped) == sorted(bench.FAMILY_BUILDERS)
+    # the serving-headline candidate leads the first group
+    assert bench.FAMILY_GROUPS[0][0] == "extract_int8_vitb16_img_per_s"
+
+
+def test_text_family_keys_in_builders():
     for k in bench.TEXT_FAMILIES:
         assert k in bench.FAMILY_BUILDERS
-    import numpy as np
-    toks = np.asarray(bench.stage_tokens(4))
-    assert toks.shape == (4, 77) and toks.dtype == np.int32
-    # EOT id (the vocab max) forced into the last column: argmax pooling
-    # gathers the end position, like real tokenized prompts
-    assert (toks.argmax(axis=-1) == 76).all()
-    assert toks.min() >= 1 and toks.max() == 49407
 
 
 def test_family_lines_pass_through():
     fams = {"extract_dinov2_vitb14_img_per_s": 3341.0,
             "extract_clip_rn50_img_per_s": 8546.8}
-    rec = _record(families=dict(fams))
+    rec = _record(dict(fams))
     for k, v in fams.items():
         assert rec[k] == v

@@ -289,3 +289,18 @@ def test_quant_flag_accepts_all_serving_modes():
     for mode in ("none", "int8", "int8_mlp", "int8_attn", "int8_qkv"):
         args = build_shared_parser().parse_args(["--quant", mode])
         assert args.quant == mode
+
+
+def test_features_cli_rejects_mixed_quant_for_dino_early():
+    """ADVICE r3: a DINO run with a CLIP-only mixed quant mode must fail
+    at entry, not minutes later inside load_dino after dataset setup."""
+    import pytest
+
+    from uml_tpu.cli import features
+    from uml_tpu.core.flags import build_shared_parser
+
+    args = build_shared_parser().parse_args(
+        ["--dataset", "caltech101", "--vision_model",
+         "vit_base_patch14_dinov2.lvd142m", "--quant", "int8_qkv"])
+    with pytest.raises(SystemExit, match="int8_qkv"):
+        features.main(args)

@@ -71,37 +71,71 @@ def run_gaussian():
     return out
 
 
-def run_fewshot_probe(args, dataset):
-    """BASELINE config #2/#3: features + 16-shot crossmodal finetune."""
+def run_fewshot_probe(args, dataset, dry_run=False):
+    """BASELINE config #2/#3: features + 16-shot crossmodal finetune.
+
+    ``dry_run``: random-init encoder + smoke hyperparams — the plumbing
+    proof (generate_fewshot -> features -> finetune -> accuracy) on an
+    environment without pretrained weights; accuracies are meaningless,
+    completing without error is the point."""
     from uml_tpu.cli import features as feat
     from uml_tpu.cli import finetune as ft
     from uml_tpu.cli import generate_fewshot as gf
 
+    shot = "3" if dry_run else "16"
     common = ["--data_dir", args.data_dir, "--indices_dir", args.indices_dir,
               "--feature_dir", args.feature_dir, "--dataset", dataset,
-              "--clip-encoder", "ViT-B/16", "--train-shot", "16",
+              "--clip-encoder", "ViT-B/16", "--train-shot", shot,
               "--seed", str(args.seed)]
+    if dry_run:
+        common.append("--allow-random-init")
 
     a = gf.build_parser().parse_args(
         ["--data_dir", args.data_dir, "--indices_dir", args.indices_dir,
-         "--dataset", dataset, "--train-shot", "16", "--seed", str(args.seed)])
+         "--dataset", dataset, "--train-shot", shot,
+         "--seed", str(args.seed)])
     gf.main(a)
 
     a = feat.build_parser().parse_args(
-        common + ["--text-augmentation", "hand_crafted",
-                  "--descriptor_type", "gpt3_cupl"])
+        common + ["--text-augmentation", "hand_crafted"]
+        + ([] if dry_run else ["--descriptor_type", "gpt3_cupl"]))
     a.overwrite, a.force_rerun = False, False
     feat.main(a)
 
+    text_type = "hand_crafted" if dry_run else "gpt3_cupl"
+    hyper = "smoke" if dry_run else "clip_linear"
     a = ft.build_parser().parse_args(
-        common + ["--result_dir", args.result_dir, "--text_type", "gpt3_cupl",
+        common + ["--result_dir", args.result_dir, "--text_type", text_type,
                   "--modality", "crossmodal", "--alpha", "1.0",
-                  "--hyperparams", "clip_linear", "--eval_test"])
+                  "--hyperparams", hyper, "--eval_test"])
     a.overwrite, a.force_rerun = False, False
     _, best_val, best_test = ft.main(a)
-    print(f"[{dataset}] 16-shot crossmodal: val {best_val:.4f} "
-          f"test {best_test:.4f}")
+    tag = " (dry-run: random-init, accuracy meaningless)" if dry_run else ""
+    print(f"[{dataset}] {shot}-shot crossmodal: val {best_val:.4f} "
+          f"test {best_test:.4f}{tag}")
     return best_test
+
+
+def run_dry(args):
+    """--dry_run: prove the whole accuracy-parity plumbing WITHOUT assets.
+
+    Synthesizes a tiny caltech-layout image fixture (the same one the
+    test suite uses), then runs run_fewshot_probe on it with a
+    random-init ViT-B/16 — exactly the code path that will compute the
+    BASELINE.md +-0.3%% check the day real weights/data are mounted."""
+    import tempfile
+
+    from tests.test_data_fewshot import make_caltech_fixture
+
+    root = tempfile.mkdtemp(prefix="uml_parity_dry_")
+    make_caltech_fixture(root)
+    args.data_dir = root
+    args.indices_dir = os.path.join(root, "indices")
+    args.feature_dir = os.path.join(root, "features")
+    args.result_dir = os.path.join(root, "experiments")
+    run_fewshot_probe(args, "caltech101", dry_run=True)
+    print("[dry-run] plumbing OK: generate_fewshot -> features -> "
+          "finetune -> collect completed on the synthetic fixture")
 
 
 def main():
@@ -114,7 +148,14 @@ def main():
     p.add_argument("--datasets", nargs="+",
                    default=["caltech101", "oxford_pets", "imagenet"])
     p.add_argument("--skip_gaussian", action="store_true")
+    p.add_argument("--dry_run", action="store_true",
+                   help="prove the parity plumbing on a synthetic fixture "
+                        "with random-init weights (no assets needed)")
     args = p.parse_args()
+
+    if args.dry_run:
+        run_dry(args)
+        return
 
     if not args.skip_gaussian:
         run_gaussian()

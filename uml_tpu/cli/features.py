@@ -397,6 +397,15 @@ def main(args):
     from uml_tpu.core.flags import apply_debug_flags
 
     apply_debug_flags(args)
+    # fail fast on an unsupported encoder/quant combination — BEFORE
+    # dataset setup and text-model load (load_dino would raise the same
+    # ValueError minutes later otherwise)
+    quant = getattr(args, "quant", "none")
+    if args.vision_model and quant not in ("none", "int8"):
+        raise SystemExit(
+            f"--quant {quant}: the mixed int8 modes (int8_mlp/int8_attn/"
+            f"int8_qkv) are CLIP-tower serving modes; "
+            f"{args.vision_model} supports --quant none|int8")
     if args.seed >= 0:
         print(f"Setting fixed seed: {args.seed}")
         set_random_seed(args.seed)

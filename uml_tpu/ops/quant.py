@@ -102,13 +102,20 @@ def _ln_rows(xf, eps):
     return (xf - mean) * jax.lax.rsqrt(var + eps)
 
 
-def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
-                     bo_ref, o_ref, *, eps, heads, head_dim, causal,
-                     dot_dtype, slab):
+def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, *refs, eps, heads,
+                     head_dim, causal, dot_dtype, slab, q8_out):
     """Int8 twin of fused_attention._block_kernel: o = x + (MHA(rawLN(x)
-    @int8 w + b) @int8 wo + bo).  The QKV and out-proj dots run int8 on
-    the MXU; the per-head-pair attention math (scores, exp2 softmax, PV)
-    is byte-identical to the bf16 kernel — it reuses _pair_attention.
+    @int8 w + b) @ wo + bo).  The QKV dot always runs int8 on the MXU;
+    the per-head-pair attention math (scores, exp2 softmax, PV) is
+    byte-identical to the bf16 kernel — it reuses _pair_attention.
+
+    ``q8_out`` (static): the out-projection runs int8 too (the serving
+    default; refs are woq/wosc/bo/o).  ``q8_out=False`` is the qkv-only
+    higher-fidelity mode — the out-projection stays bf16 (refs are
+    wo/bo/o), skipping the [S, H*D] attention-output quantize.  A/B
+    verdict (tools/exp_q8_mix.py, v5e bs2048): full int8 6553.8 img/s vs
+    qkv-only 6437.0 — the out-proj's int8 MXU saving beats its quantize
+    overhead once composed, so the default keeps both projections int8.
 
     ``slab``: run the QKV projection as ONE [G*S, K] int8 dot.  int8
     operands tile at 32 sublanes (vs 8 for bf16), so a per-image S=197
@@ -116,6 +123,10 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
     the pad to ~1.5%.  Row quantization is per-row either way, so the
     slab is numerically identical.  Attention and the out-proj stay
     per-image (scores are per-image; the out-proj is 1/3 the QKV FLOPs)."""
+    if q8_out:
+        woq_ref, wosc_ref, bo_ref, o_ref = refs
+    else:
+        wo_ref, bo_ref, o_ref = refs
     g, s, k = x_ref.shape
     if slab:
         xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
@@ -135,46 +146,14 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, woq_ref, wosc_ref,
         cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
                                causal=causal, dot_dtype=dot_dtype,
                                b_eff=b_ref[:])
-        attn = jnp.concatenate(cols, axis=-1)                # fp32 [S, H*D]
-        aq, asc = _quantize_rows(attn)
-        delta = _q8_dot(aq, asc, woq_ref[:], wosc_ref[:])
-        o_ref[j] = (xf + delta
-                    + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
-
-
-def _block_q8qkv_kernel(x_ref, wq_ref, wsc_ref, b_ref, wo_ref, bo_ref,
-                        o_ref, *, eps, heads, head_dim, causal, dot_dtype,
-                        slab):
-    """qkv-only int8 attention half-block: the QKV projection runs int8
-    (3/4 of the half-block's projection FLOPs) but the out-projection
-    stays bf16, skipping the [S, H*D] attention-output quantize (three
-    VPU passes per image).  A/B verdict (tools/exp_q8_mix.py, v5e
-    bs2048): composed 6437.0 img/s vs the full-int8 block's 6553.8 —
-    the out-proj's int8 MXU saving beats its quantize overhead once
-    composed, so the serving default keeps both projections int8 and
-    this variant exists as the higher-fidelity, ~2%-slower mode
-    (quant='int8_qkv')."""
-    g, s, k = x_ref.shape
-    if slab:
-        xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
-        xn = _ln_rows(xf_all, eps)
-        xq, xs = _quantize_rows(xn)
-        qkv_all = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
-    for j in range(g):
-        if slab:
-            xf = xf_all[j * s:(j + 1) * s]
-            qkv = qkv_all[j * s:(j + 1) * s]
+        if q8_out:
+            attn = jnp.concatenate(cols, axis=-1)            # fp32 [S, H*D]
+            aq, asc = _quantize_rows(attn)
+            delta = _q8_dot(aq, asc, woq_ref[:], wosc_ref[:])
         else:
-            xf = x_ref[j].astype(jnp.float32)                # [S, K]
-            xn = _ln_rows(xf, eps)
-            xq, xs = _quantize_rows(xn)
-            qkv = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
-
-        cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
-                               causal=causal, dot_dtype=dot_dtype,
-                               b_eff=b_ref[:])
-        attn = jnp.concatenate(cols, axis=-1).astype(dot_dtype)
-        delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+            attn = jnp.concatenate(cols, axis=-1).astype(dot_dtype)
+            delta = jnp.dot(attn, wo_ref[:],
+                            preferred_element_type=jnp.float32)
         o_ref[j] = (xf + delta
                     + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -213,7 +192,9 @@ def block_q8_vmem_bytes(k, heads, head_dim, seq_len, g=1, slab=False,
     w = k * 3 * hd + (hd * k if q8_out else 2 * hd * k) + 4 * (3 * hd + k)
     tile = seq_len * (2 * k + 2 * k)          # in/out bf16
     temps = rows * (4 * k + k + 4 * 3 * hd + 2 * 3 * hd)
-    temps += seq_len * (4 * hd + hd)          # per-image attn/out-proj rows
+    # per-image attention-output rows: fp32 concat + (int8 quantized copy
+    # when the out-proj runs int8, else its bf16 cast for the bf16 dot)
+    temps += seq_len * (4 * hd + (hd if q8_out else 2 * hd))
     scores = seq_len * seq_len * (4 + 2)
     if _packed_enabled():                     # [S, 2S] packed-keys scores
         scores *= 2
@@ -238,20 +219,28 @@ def _q8_slab_enabled():
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "eps", "heads", "head_dim", "causal", "interpret"))
-def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
-                  causal, interpret):
+    "eps", "heads", "head_dim", "causal", "interpret", "q8_out"))
+def _block_q8_fwd(x, wq, wsc, b_eff, wo_ops, bo, eps, heads, head_dim,
+                  causal, interpret, q8_out=True):
+    """``wo_ops``: (woq int8, wosc fp32) when ``q8_out`` (the serving
+    default) else (wo bf16,) — the qkv-only higher-fidelity mode."""
     bsz, s, k = x.shape
     m3 = wq.shape[1]
     hd = heads * head_dim
     slab = _q8_slab_enabled()
     g, cparams = _group_and_params(
         bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g,
-                                                   slab))
+                                                   slab, q8_out=q8_out))
+    wo_specs = [pl.BlockSpec((hd, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    if q8_out:
+        wo_specs.append(pl.BlockSpec((k,), lambda i: (0,),
+                                     memory_space=pltpu.VMEM))
+    wo_bytes = sum(w.size * w.dtype.itemsize for w in wo_ops)
     return pl.pallas_call(
         functools.partial(_block_q8_kernel, eps=eps, heads=heads,
                           head_dim=head_dim, causal=causal,
-                          dot_dtype=jnp.bfloat16, slab=slab),
+                          dot_dtype=jnp.bfloat16, slab=slab, q8_out=q8_out),
         grid=(bsz // g,),
         compiler_params=cparams,
         in_specs=[
@@ -260,8 +249,7 @@ def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
             pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+            *wo_specs,
             pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
@@ -271,51 +259,11 @@ def _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads, head_dim,
             flops=(2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim
                    + 2 * bsz * s * hd * k),
             bytes_accessed=(2 * x.size * x.dtype.itemsize
-                            + wq.size + woq.size),
+                            + wq.size + wo_bytes),
             transcendentals=bsz * heads * s * s,
         ),
         interpret=interpret,
-    )(x, wq, wsc, b_eff, woq, wosc, bo)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "eps", "heads", "head_dim", "causal", "interpret"))
-def _block_q8qkv_fwd(x, wq, wsc, b_eff, wo, bo, eps, heads, head_dim,
-                     causal, interpret):
-    bsz, s, k = x.shape
-    m3 = wq.shape[1]
-    hd = heads * head_dim
-    slab = _q8_slab_enabled()
-    g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g,
-                                                   slab, q8_out=False))
-    return pl.pallas_call(
-        functools.partial(_block_q8qkv_kernel, eps=eps, heads=heads,
-                          head_dim=head_dim, causal=causal,
-                          dot_dtype=jnp.bfloat16, slab=slab),
-        grid=(bsz // g,),
-        compiler_params=cparams,
-        in_specs=[
-            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, s, k), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=(2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim
-                   + 2 * bsz * s * hd * k),
-            bytes_accessed=(2 * x.size * x.dtype.itemsize
-                            + wq.size + wo.size * wo.dtype.itemsize),
-            transcendentals=bsz * heads * s * s,
-        ),
-        interpret=interpret,
-    )(x, wq, wsc, b_eff, wo, bo)
+    )(x, wq, wsc, b_eff, *wo_ops, bo)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
@@ -478,13 +426,10 @@ def ln_attn_block_q8(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
         w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
         wq, wsc = quantize_weight(w_eff)
         interpret = jax.default_backend() == "cpu"
-        if not q8_out:
-            return _block_q8qkv_fwd(x, wq, wsc, b_eff,
-                                    wo.astype(jnp.bfloat16), bo, eps, heads,
-                                    d, causal, interpret)
-        woq, wosc = quantize_weight(wo)
-        return _block_q8_fwd(x, wq, wsc, b_eff, woq, wosc, bo, eps, heads,
-                             d, causal, interpret)
+        wo_ops = (quantize_weight(wo) if q8_out
+                  else (wo.astype(jnp.bfloat16),))
+        return _block_q8_fwd(x, wq, wsc, b_eff, wo_ops, bo, eps, heads,
+                             d, causal, interpret, q8_out=q8_out)
     if not q8_out:
         return ln_attn_block_q8qkv_reference(
             x, scale, bias, kernel, kbias, wo.astype(jnp.bfloat16), bo,
