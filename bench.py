@@ -16,12 +16,14 @@ nothing.  Structure now:
     measured, and the parent merges whatever arrived even when a child
     is killed at its timeout — a stall costs the un-emitted lines, never
     the accumulated ones;
-  * measurement order is priority order: health probe -> core child
-    (bf16 headline -> train step -> pipeline) -> int8 serving line (the
-    headline candidate, with one immediate retry) -> family survey
-    groups -> text towers;  when the deadline nears, remaining lines are
-    shed and listed in the record's ``"shed"`` field — an explicit
-    statement of what was not measured, not a silent truncation;
+  * measurement order is priority order: core child (bf16 headline ->
+    train step -> pipeline) -> int8 serving line (the headline
+    candidate, with one immediate retry) -> family survey groups ->
+    text towers; the relay health probe runs ONLY if the core child
+    comes back empty (a healthy probe costs ~3 min of budget through
+    this relay); when the deadline nears, remaining lines are shed and
+    listed in the record's ``"shed"`` field — an explicit statement of
+    what was not measured, not a silent truncation;
   * the parent ALWAYS prints the JSON line, with ``SAFETY_S`` seconds of
     margin before the budget expires.
 
@@ -630,9 +632,11 @@ def probe_relay():
     """Health-probe the device path in a bounded child.  The relay has
     documented stall episodes where even previously-compiled trivial
     programs hang 15+ min; when that happens the bench must print an
-    explicit error record, not hang past the driver's patience."""
+    explicit error record, not hang past the driver's patience.  Runs
+    ONLY after a failed core child (a healthy probe costs ~3 min of
+    budget through this relay, 18% of the whole window)."""
     timeout_s = min(float(os.environ.get("UML_PROBE_TIMEOUT_S", 270)),
-                    max(60.0, _remaining() - 600))
+                    max(60.0, _remaining() - 30))
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -728,36 +732,41 @@ def compose_record(metrics, shed=()):
 
 
 def main():
-    if not probe_relay():
-        print(json.dumps({
-            "metric": "clip_vitb16_feature_extraction_throughput",
-            "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
-            "error": (
-                "device relay unresponsive: a trivial put+jit+fetch in a "
-                "fresh subprocess did not complete within the probe "
-                "timeout — environment outage, not a framework "
-                "regression (last good: 6562+ img/s int8 serving, "
-                "~5019 img/s bf16 = ~87% of the 5778 img/s bf16 "
-                "roofline)")}))
-        return
-
     metrics, shed = {}, []
 
     # core: headline bf16 -> train -> pipeline, one child (one device
-    # init), streaming; reserve budget for the int8 serving line after
+    # init), streaming; reserve budget for the int8 serving line after.
+    # No up-front health probe: a healthy probe costs ~3 min through the
+    # relay; the probe runs only if the core child comes back empty, to
+    # distinguish a relay outage from a framework regression.
     core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 660)),
                        max(120.0, _remaining() - 240))
     got, status = run_child(
         {"UML_BENCH_CORE": "1", "UML_CORE_BUDGET_S": str(core_timeout - 5)},
         core_timeout)
     metrics.update(got)
-    if "extract_bf16_img_per_s" not in metrics and _remaining() > 420:
-        # full core failure: one lean retry (headline + train only)
-        got, status = run_child(
-            {"UML_BENCH_CORE": "1", "UML_CORE_LEAN": "1",
-             "UML_CORE_BUDGET_S": str(min(390.0, _remaining() - 200))},
-            min(400.0, _remaining() - 190))
-        metrics.update(got)
+    if not metrics:
+        if not probe_relay():
+            print(json.dumps({
+                "metric": "clip_vitb16_feature_extraction_throughput",
+                "value": 0.0, "unit": "img/s/chip", "vs_baseline": 0.0,
+                "error": (
+                    "device relay unresponsive: the core measurement "
+                    "child produced nothing and a trivial put+jit+fetch "
+                    "in a fresh subprocess did not complete within the "
+                    "probe timeout — environment outage, not a framework "
+                    "regression (last good: 6620 img/s int8 serving, "
+                    "~5018 img/s bf16 = ~87% of the 5778 img/s bf16 "
+                    "roofline)")}))
+            return
+        if _remaining() > 420:
+            # relay is alive but the core died: one lean retry
+            # (headline + train only)
+            got, status = run_child(
+                {"UML_BENCH_CORE": "1", "UML_CORE_LEAN": "1",
+                 "UML_CORE_BUDGET_S": str(min(390.0, _remaining() - 200))},
+                min(400.0, _remaining() - 190))
+            metrics.update(got)
     shed.extend(k for k in CORE_KEYS if k not in metrics)
 
     groups = FAMILY_GROUPS[:1] if SKIP_FAMILIES else FAMILY_GROUPS
