@@ -85,6 +85,34 @@ def _quantize_rows(xf):
     return q, scale
 
 
+def _ln_quantize_rows(xf, eps):
+    """Fused LN + per-row quantize: fp32 [S, K] -> (int8, fp32 scales).
+
+    Replaces _quantize_rows(_ln_rows(x)) without ever materializing the
+    normalized fp32 row: absmax(xn) == rstd * max(max(x) - mean,
+    mean - min(x)) — the max/min reduce rides the same resident data as
+    the mean/E[x^2] reduces, and the quantized integer comes from ONE
+    fused (x - mean) * (rstd / scale) pass instead of normalize-then-
+    divide.  Numerics: same values up to fp32 multiply-order (the jnp
+    references use this same function, so kernel == reference stays
+    bit-for-bit); vs the unfused form an exact-tie at the round boundary
+    can flip one integer step — within the quantization error budget by
+    construction.
+    """
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    mx = jnp.max(xf, axis=-1, keepdims=True)
+    mn = jnp.min(xf, axis=-1, keepdims=True)
+    absmax = jnp.maximum(mx - mean, mean - mn) * rstd
+    scale = jnp.maximum(absmax, 1e-12) / INT8_MAX
+    k = rstd / scale
+    q = jnp.clip(_round_half_up((xf - mean) * k),
+                 -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
 def _q8_dot(xq, row_scale, wq, col_scale):
     """(int8 [S, K] x int8 [K, M]) -> fp32 [S, M] with the exact rank-1
     dequant epilogue.  The dot accumulates in int32 on the MXU (v5e: 2x
@@ -130,8 +158,7 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, *refs, eps, heads,
     g, s, k = x_ref.shape
     if slab:
         xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
-        xn = _ln_rows(xf_all, eps)
-        xq, xs = _quantize_rows(xn)
+        xq, xs = _ln_quantize_rows(xf_all, eps)
         qkv_all = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
     for j in range(g):
         if slab:
@@ -139,8 +166,7 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, *refs, eps, heads,
             qkv = qkv_all[j * s:(j + 1) * s]
         else:
             xf = x_ref[j].astype(jnp.float32)                # [S, K]
-            xn = _ln_rows(xf, eps)
-            xq, xs = _quantize_rows(xn)
+            xq, xs = _ln_quantize_rows(xf, eps)
             qkv = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
 
         cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
@@ -169,8 +195,7 @@ def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
     step = slab if g % slab == 0 else (2 if g % 2 == 0 else 1)
     for j0 in range(0, g, step):
         xf = x_ref[j0:j0 + step].reshape(step * s, k).astype(jnp.float32)
-        xn = _ln_rows(xf, eps)
-        xq, xs = _quantize_rows(xn)
+        xq, xs = _ln_quantize_rows(xf, eps)
         pre = _q8_dot(xq, xs, w1q_ref[:], w1sc_ref[:])
         y = _KERNEL_ACTIVATIONS[activation](
             pre + b1_ref[:].astype(jnp.float32))
@@ -317,12 +342,12 @@ def _mlp_q8_fwd(x, w1q, w1sc, b1, w2q, w2sc, b2, eps, activation, interpret):
 # the integer dot runs via int32 (XLA CPU lowers int8 dots generically).
 
 
-def _attn_q8_reference_core(xn, wq, wsc, b_eff, heads, causal):
+def _attn_q8_reference_core(xf, eps, wq, wsc, b_eff, heads, causal):
     from uml_tpu.ops.attention import mha_reference
 
-    b, s, k = xn.shape
+    b, s, k = xf.shape
     d = wq.shape[1] // (3 * heads)
-    xq, xs = _quantize_rows(xn)
+    xq, xs = _ln_quantize_rows(xf, eps)
     qkv = jax.lax.dot_general(
         xq, wq, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -340,8 +365,7 @@ def ln_attn_block_q8_reference(x, scale, bias, kernel, kbias, wo, bo, *,
     wq, wsc = quantize_weight(w_eff)
     woq, wosc = quantize_weight(wo)
     xf = x.astype(jnp.float32)
-    xn = _ln_rows(xf, eps)
-    attn = _attn_q8_reference_core(xn, wq, wsc, b_eff, heads, causal)
+    attn = _attn_q8_reference_core(xf, eps, wq, wsc, b_eff, heads, causal)
     aq, asc = _quantize_rows(attn.astype(jnp.float32))
     delta = jax.lax.dot_general(
         aq, woq, dimension_numbers=(((2,), (0,)), ((), ())),
@@ -357,8 +381,7 @@ def ln_attn_block_q8qkv_reference(x, scale, bias, kernel, kbias, wo, bo, *,
     w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
     wq, wsc = quantize_weight(w_eff)
     xf = x.astype(jnp.float32)
-    xn = _ln_rows(xf, eps)
-    attn = _attn_q8_reference_core(xn, wq, wsc, b_eff, heads, causal)
+    attn = _attn_q8_reference_core(xf, eps, wq, wsc, b_eff, heads, causal)
     delta = jnp.dot(attn.astype(wo.dtype), wo,
                     preferred_element_type=jnp.float32)
     return (xf + delta + bo.astype(jnp.float32)).astype(x.dtype)
@@ -373,8 +396,7 @@ def ln_mlp_block_q8_reference(x, scale, bias, w1, b1, w2, b2, *,
     w1q, w1sc = quantize_weight(w1_eff)
     w2q, w2sc = quantize_weight(w2)
     xf = x.astype(jnp.float32)
-    xn = _ln_rows(xf, eps)
-    xq, xs = _quantize_rows(xn)
+    xq, xs = _ln_quantize_rows(xf, eps)
     pre = jax.lax.dot_general(
         xq, w1q, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
