@@ -17,6 +17,7 @@ def _toy(n=80, d=8, c=3, seed=0):
     return feats.astype(np.float32), labels.astype(np.int64)
 
 
+@pytest.mark.heavy
 def test_checkpointer_roundtrip(tmp_path):
     ck = TrainCheckpointer(str(tmp_path / "ck"))
     state = {"a": np.arange(6.0).reshape(2, 3), "step": 7}
@@ -32,6 +33,7 @@ def test_checkpointer_roundtrip(tmp_path):
     assert off.restore_latest(state) == (None, None)
 
 
+@pytest.mark.heavy
 def test_train_resume_matches_uninterrupted(tmp_path):
     feats, labels = _toy()
     val = eval_batches(feats[:30], labels[:30], 16)

@@ -64,6 +64,7 @@ def test_supervised_train_dp_matches_single_device():
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.heavy
 def test_selfsup_train_dp_matches_single_device(tmp_path):
     from tests.test_multibench import make_affect_pickle
     from uml_tpu.cli.multibench import _affect_streams
@@ -90,6 +91,7 @@ def test_selfsup_train_dp_matches_single_device(tmp_path):
         assert dp[k] == pytest.approx(single[k], abs=0.02), k
 
 
+@pytest.mark.heavy
 def test_clip_encoder_dp_matches_single_device():
     from uml_tpu.models.encoders import ClipEncoder
     import jax.numpy as jnp

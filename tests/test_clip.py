@@ -99,6 +99,7 @@ def test_flash_attention_matches_reference(shape, causal):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_attention_grad_path():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.standard_normal((1, 2, 64, 64)), jnp.float32)

@@ -36,6 +36,7 @@ def ref_rn_clip():
         transformer_layers=1).float().eval()
 
 
+@pytest.mark.heavy
 def test_rn_tower_parity(ref_rn_clip):
     torch = pytest.importorskip("torch")
     cfg = ClipResNetConfig(layers=(1, 1, 1, 1), output_dim=64, width=16,
@@ -50,6 +51,7 @@ def test_rn_tower_parity(ref_rn_clip):
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_rn_checkpoint_dispatch(ref_rn_clip, tmp_path):
     torch = pytest.importorskip("torch")
     from uml_tpu.models.clip import ClipResNetModel

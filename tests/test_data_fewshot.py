@@ -94,6 +94,7 @@ def test_fewshot_deterministic(data_dir):
     assert other != outs[0]
 
 
+@pytest.mark.heavy
 @pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference not mounted")
 def test_fewshot_byte_parity_with_reference(data_dir, tmp_path):
     """The emitted shot_{n}-seed_{s}.json must be byte-identical to what the

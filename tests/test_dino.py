@@ -26,6 +26,7 @@ def test_config_table_matches_reference_choices():
     assert not DINO_CONFIGS["vit_base_patch16_224_dino"][0].layerscale
 
 
+@pytest.mark.heavy
 def test_parity_with_hf_dinov2():
     torch = pytest.importorskip("torch")
     from transformers import Dinov2Config, Dinov2Model
@@ -59,6 +60,7 @@ def test_pos_embedding_interpolation():
     np.testing.assert_array_equal(same, pos)
 
 
+@pytest.mark.heavy
 def test_from_uint8_matches_normalize_then_conv():
     """The uint8 fast path (normalization folded into the patch matmul,
     flat transfer layout) equals normalize -> conv within float tolerance."""

@@ -43,6 +43,7 @@ def test_raw_stream_shapes_and_reshuffle(tmp_path):
     assert sorted(epoch1.tolist()) == sorted(x["label"] for x in items)
 
 
+@pytest.mark.heavy
 def test_trainable_backbone_learns(tmp_path):
     import jax.numpy as jnp
 
@@ -76,6 +77,7 @@ def test_trainable_backbone_learns(tmp_path):
     assert out["val_acc"] > 0.9  # color classes are trivially separable
 
 
+@pytest.mark.heavy
 def test_resnet_bn_training_full_finetune(tmp_path):
     """RN tower full finetune: BatchNorm trains torch-style — batch stats
     normalize during training and the running stats move with momentum

@@ -55,6 +55,7 @@ def test_head_pair_isolation():
     assert not np.allclose(np.asarray(base[..., d:]), np.asarray(out[..., d:]))
 
 
+@pytest.mark.heavy
 def test_grads_flow_through_custom_vjp():
     rng = np.random.default_rng(2)
     x, scale, bias, kernel, kbias = _setup(rng)
@@ -143,6 +144,7 @@ def test_block_kernel_dino_l_shape():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.heavy
 def test_block_kernel_slab_matches_reference(monkeypatch):
     """UML_ATTN_SLAB=1 (QKV projection as one [G*S, K] dot) must be
     numerically equivalent to the per-image path.  The env var is read at
@@ -163,6 +165,7 @@ def test_block_kernel_slab_matches_reference(monkeypatch):
                                atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.heavy
 def test_block_kernel_packed_matches_reference(monkeypatch):
     """UML_ATTN_PACKED=1 (one [Sq,128]x[128,2S] score dot per head pair,
     both heads' keys side by side in the lane dim) must be numerically
@@ -204,6 +207,7 @@ def test_block_cls_kernel_matches_reference():
                                atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.heavy
 def test_block_cls_grads_flow_through_custom_vjp():
     """Grads reach every input (k/v rows beyond CLS_ROWS still matter)."""
     from uml_tpu.ops.fused_attention import CLS_ROWS, ln_attn_block_cls
@@ -228,6 +232,7 @@ def test_block_cls_grads_flow_through_custom_vjp():
     assert float(jnp.abs(gx[:, CLS_ROWS:]).sum()) > 0
 
 
+@pytest.mark.heavy
 def test_clip_cls_only_matches_full_token_path():
     """encode_image (CLS-only last block) == pooled return_tokens path."""
     from uml_tpu.models.clip import CLIP, ClipConfig

@@ -59,6 +59,7 @@ def test_unpaired_stream_modulo_and_droplast():
         assert ix.max() < 10 and iy.max() < 7
 
 
+@pytest.mark.heavy
 def test_train_xy_learns_and_aligns():
     train = generate_data(_cfg(42, 2048))
     val = generate_data(_cfg(43, 256, attenuate=False))
@@ -90,6 +91,7 @@ def test_train_x_mode_only_optimizes_x():
     assert res.history["val/loss_x"][-1] < res.history["val/loss_x"][0]
 
 
+@pytest.mark.heavy
 def test_train_determinism():
     train = generate_data(_cfg(42, 512))
     val = generate_data(_cfg(43, 128, attenuate=False))

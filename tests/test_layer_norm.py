@@ -1,5 +1,7 @@
 """Pallas LayerNorm kernel tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +19,7 @@ def test_pallas_ln_matches_reference():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_pallas_ln_grad_matches():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)

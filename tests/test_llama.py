@@ -25,6 +25,7 @@ def _tokens(rng, b=3, s=11, vocab=128):
     return ids, mask
 
 
+@pytest.mark.heavy
 def test_matches_hf_torch():
     """Port a tiny random HF LlamaModel; hidden states must match."""
     torch = pytest.importorskip("torch")
@@ -198,6 +199,7 @@ def test_gqa_repeat_and_padding_invariance():
                                atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_int8w_close_to_float_and_halves_weight_bytes():
     """Weight-only int8 (Q8Dense + quantize_llama_params): pooled
     embeddings stay ~1e-3-cosine of the float model, and projection

@@ -48,6 +48,7 @@ def test_kernel_bf16_padding_rows():
                                atol=0.1, rtol=0.05)
 
 
+@pytest.mark.heavy
 def test_auto_impl_reference_on_cpu_and_grads():
     """'auto' falls back to reference math on CPU; grads flow through the
     custom_vjp (used by the full-finetune path)."""
@@ -75,6 +76,7 @@ def test_auto_impl_reference_on_cpu_and_grads():
         np.testing.assert_allclose(np.asarray(g), np.asarray(rg), atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_add_ln_matmul_kernel_matches_reference():
     from uml_tpu.ops.ln_matmul import (
         _add_ln_matmul_fwd_3d,
@@ -140,6 +142,7 @@ def test_mlp_block_full_slab_path():
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("activation", [None, "quick_gelu", "gelu_exact"])
 def test_mlp_bwd_kernel_matches_reference_vjp(activation):
     """Hand-written MLP-half-block backward vs jax.vjp of the jnp twin
@@ -207,6 +210,7 @@ def test_kernel_gelu_exact_accuracy():
     grad_ref = jax.vmap(jax.grad(_ACTIVATIONS["gelu_exact"]))(x)
     assert float(jnp.abs(_act_grad(x, "gelu_exact") - grad_ref).max()) < 1e-4
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("grp", ["1", "2"])
 def test_mlp_bwd_dw_kernel_matches_reference_vjp(grp, monkeypatch):
     """In-kernel-accumulated-dW backward (UML_MLP_BWD=dw, measured

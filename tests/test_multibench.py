@@ -102,6 +102,7 @@ def test_sequence_info_nce_prefers_aligned():
     assert aligned < shuffled
 
 
+@pytest.mark.heavy
 def test_seq_transformer_causality():
     model = SeqTransformer(8, 10, nhead=5, num_layers=2, out_last=False)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 6, 8)),
@@ -159,6 +160,7 @@ def test_encoder_layer_parity_with_torch():
     np.testing.assert_allclose(np.asarray(got), expected, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_seq_uml_y_encoder_unmasked_parity_quirk():
     """The reference encodes y WITHOUT key-padding (models.py:233) while x
     is masked (models.py:201); zy must therefore change when padded steps
@@ -183,6 +185,7 @@ def test_seq_uml_y_encoder_unmasked_parity_quirk():
                            np.asarray(out["zy"][:, 4:]))
 
 
+@pytest.mark.heavy
 def test_seq_uml_forward_losses(affect_pickle):
     splits = load_affect(affect_pickle)
     model = make_seq_uml(6, 10, 10)
@@ -260,6 +263,7 @@ def test_robustness_noise():
     assert add_text_noise(texts, 0.0, rng=rng)[0] == texts[0]
 
 
+@pytest.mark.heavy
 def test_selfsup_train_smoke(affect_pickle):
     from uml_tpu.train.selfsup import SelfSupTrainer, train_selfsup
     from uml_tpu.cli.multibench import _affect_streams
@@ -277,6 +281,7 @@ def test_selfsup_train_smoke(affect_pickle):
         assert 0.0 <= score[k] <= 1.0
 
 
+@pytest.mark.heavy
 def test_selfsup_checkpoint_resume(affect_pickle, tmp_path):
     from uml_tpu.core.checkpoint import TrainCheckpointer
     from uml_tpu.train.selfsup import SelfSupTrainer, train_selfsup
@@ -306,6 +311,7 @@ def test_selfsup_checkpoint_resume(affect_pickle, tmp_path):
         np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_selfsup_deterministic_reruns(affect_pickle):
     """Two identical runs must produce identical scores: the eval-side
     shuffle uses an explicit generator, not ambient global RNG state."""
@@ -331,6 +337,7 @@ def test_selfsup_deterministic_reruns(affect_pickle):
         assert a[k] == b[k], (k, a[k], b[k])
 
 
+@pytest.mark.heavy
 def test_selfsup_resume_past_completion(affect_pickle, tmp_path):
     """Resuming a run whose checkpoint is already at num_epochs must still
     return the finished score (not None)."""
@@ -359,6 +366,7 @@ def test_selfsup_resume_past_completion(affect_pickle, tmp_path):
         assert resumed[k] == first[k], (k, resumed[k], first[k])
 
 
+@pytest.mark.heavy
 def test_robust_evaluate_text_curves(affect_pickle):
     """--robust_test with raw sentences: text-modality degradation curves
     appear (VERDICT #7; reference affect get_data.py:332-347)."""

@@ -107,6 +107,7 @@ def test_dp_shardings_shapes():
     assert x.sharding.spec == P("data")
 
 
+@pytest.mark.heavy
 def test_graft_dryrun_8dev():
     import __graft_entry__ as g
 

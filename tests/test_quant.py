@@ -73,6 +73,7 @@ def test_quantize_rows_zero_row_is_safe():
     assert np.all(np.isfinite(np.asarray(s)))
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("causal", [False, True])
 def test_attn_q8_kernel_matches_q8_reference(causal):
     """Pallas kernel (interpret) vs the simulated-int8 jnp twin.  Not
@@ -128,6 +129,7 @@ def test_attn_q8_close_to_bf16():
     assert _cos(q, f) > 0.998
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("activation", [None, "quick_gelu", "gelu_exact"])
 def test_mlp_q8_kernel_matches_q8_reference(activation):
     rng = np.random.default_rng(3)
@@ -152,6 +154,7 @@ def test_mlp_q8_kernel_matches_q8_reference(activation):
     assert _cos(got, f) > 0.998
 
 
+@pytest.mark.heavy
 def test_clip_int8_feature_fidelity():
     """Full CLIP with quant='int8' (every non-final block W8A8) stays
     within ~1e-3 cosine of the bf16 model on both towers."""
@@ -201,6 +204,7 @@ def test_dino_int8_feature_fidelity():
     assert _cos(q, f) > 0.995
 
 
+@pytest.mark.heavy
 def test_q8_noslab_matches_slab(monkeypatch):
     """UML_Q8_SLAB=0 (per-image int8 dots, the A/B fallback) must produce
     bit-identical outputs to the default slab path: the slab only batches
@@ -229,6 +233,7 @@ def test_q8_noslab_matches_slab(monkeypatch):
     np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
 
 
+@pytest.mark.heavy
 def test_clip_encoder_quant_api():
     """ClipEncoder(quant='int8') runs the extraction API end to end."""
     from uml_tpu.models.encoders import ClipEncoder
@@ -243,6 +248,7 @@ def test_clip_encoder_quant_api():
     assert txt.shape == (2, 512)
     assert np.all(np.isfinite(txt))
 
+@pytest.mark.heavy
 def test_clip_mixed_quant_modes():
     """quant='int8_mlp'/'int8_attn' (one half-block family W8A8, the
     other bf16 — tools/exp_q8_mix.py's mixed serving modes) produce
