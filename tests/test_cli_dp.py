@@ -37,6 +37,7 @@ def _toy(seed=0, n=128, d=16, classes=4):
     return feats, labels.astype(np.int64)
 
 
+@pytest.mark.heavy
 def test_supervised_train_dp_matches_single_device():
     from uml_tpu.models.uml_head import UMLHead
     from uml_tpu.train.optim import build_optimizer, build_schedule

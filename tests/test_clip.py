@@ -185,6 +185,7 @@ def test_clip_text_parity(ref_clip_pair):
     np.testing.assert_array_equal(np.asarray(got_eot), ref_eot.numpy())
 
 
+@pytest.mark.heavy
 def test_clip_contrastive_forward(ref_clip_pair):
     torch = pytest.importorskip("torch")
     ref, model, variables = ref_clip_pair

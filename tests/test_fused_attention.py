@@ -118,6 +118,7 @@ def test_supports_gate():
     assert supports_fused_attention(768, 12, 64, 785, with_proj=True)
 
 
+@pytest.mark.heavy
 def test_block_kernel_dino_l_shape():
     """DINO-L/14-class dims (k=1024, 16 heads, S=257) through the fused
     half-block in interpret mode: past the old 13 MB gate, now admitted
@@ -188,6 +189,7 @@ def test_block_kernel_packed_matches_reference(monkeypatch):
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.heavy
 def test_block_cls_kernel_matches_reference():
     """CLS-only final block: first CLS_ROWS rows equal the full block's."""
     from uml_tpu.ops.fused_attention import CLS_ROWS, _block_cls_fwd

@@ -247,6 +247,7 @@ def test_int8w_close_to_float_and_halves_weight_bytes():
             == jax.tree_util.tree_structure(qparams))
 
 
+@pytest.mark.heavy
 def test_int8w_tp_sharded_matches_unsharded():
     """The TP rules shard kernel_q8 like kernel and col-scales like
     col-biases; sharded == unsharded through the quantized forward."""

@@ -113,6 +113,41 @@ def _ln_quantize_rows(xf, eps):
     return q, scale
 
 
+# |global minimum| of each activation's negative lobe: quick_gelu
+# x*sigmoid(1.702x) bottoms at -0.1637 (x ~ -0.751), exact GELU x*Phi(x)
+# at -0.1700 (x ~ -0.752); constants padded ~1% so the bound can never
+# under-cover the lobe (an under-estimated scale would CLIP, an
+# over-estimate only coarsens near-zero rows)
+_ACT_NEG_LOBE = {"quick_gelu": 0.1654, "gelu_exact": 0.1718}
+
+
+def _act_quantize_rows(pre, activation, act_table):
+    """Quantize act(pre) per row without materializing act(pre) or
+    reducing over it: for the bounded-lobe GELUs, act is monotone
+    increasing above its global-minimum point and its negative values
+    are bounded by the lobe constant, so
+        absmax(act(pre_row)) <= max(act(max(pre_row)), lobe)
+    with equality whenever the row max is the true absmax.  The row
+    reduce runs over ``pre`` (already VMEM-resident from the dot), and
+    the activation+scale+round+cast fuse into ONE elementwise pass —
+    the old path materialized act(pre), reduced over it, then re-read
+    it to quantize (three hidden-width [rows, 4K] passes).  The scale
+    never under-covers, so nothing clips; rows whose true absmax sits
+    on the negative lobe quantize slightly coarser (bounded absolute
+    error ~lobe/127).  ``act_table`` lets the Mosaic kernel and the jnp
+    reference pass their own activation implementations so each stays
+    self-consistent."""
+    act = act_table[activation]
+    if activation not in _ACT_NEG_LOBE:
+        return _quantize_rows(act(pre))
+    row_max = jnp.max(pre, axis=-1, keepdims=True)
+    amax = jnp.maximum(act(row_max), _ACT_NEG_LOBE[activation])
+    scale = amax / INT8_MAX
+    q = jnp.clip(_round_half_up(act(pre) / scale),
+                 -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
 def _q8_dot(xq, row_scale, wq, col_scale):
     """(int8 [S, K] x int8 [K, M]) -> fp32 [S, M] with the exact rank-1
     dequant epilogue.  The dot accumulates in int32 on the MXU (v5e: 2x
@@ -197,9 +232,8 @@ def _mlp_q8_kernel(x_ref, w1q_ref, w1sc_ref, b1_ref, w2q_ref, w2sc_ref,
         xf = x_ref[j0:j0 + step].reshape(step * s, k).astype(jnp.float32)
         xq, xs = _ln_quantize_rows(xf, eps)
         pre = _q8_dot(xq, xs, w1q_ref[:], w1sc_ref[:])
-        y = _KERNEL_ACTIVATIONS[activation](
-            pre + b1_ref[:].astype(jnp.float32))
-        yq, ys = _quantize_rows(y)
+        yq, ys = _act_quantize_rows(pre + b1_ref[:].astype(jnp.float32),
+                                    activation, _KERNEL_ACTIVATIONS)
         out = _q8_dot(yq, ys, w2q_ref[:], w2sc_ref[:])
         out = (xf + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
         o_ref[j0:j0 + step] = out.reshape(step, s, k)
@@ -401,8 +435,8 @@ def ln_mlp_block_q8_reference(x, scale, bias, w1, b1, w2, b2, *,
         xq, w1q, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     pre = pre.astype(jnp.float32) * xs * w1sc[None, None, :]
-    y = _ACTIVATIONS[activation](pre + b1_eff.astype(jnp.float32))
-    yq, ys = _quantize_rows(y)
+    yq, ys = _act_quantize_rows(pre + b1_eff.astype(jnp.float32),
+                                activation, _ACTIVATIONS)
     out = jax.lax.dot_general(
         yq, w2q, dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
