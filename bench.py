@@ -36,8 +36,9 @@ amortized like production serving would.
 Primary metric (``value``): device-resident uint8 batch -> ViT-B/16
 forward under jit, in the framework's FASTEST SERVING CONFIGURATION —
 the int8 W8A8 half-block kernels (``--quant int8``, ops.quant) when that
-line measured faster than bf16 in the same bench (it does: int8 MXU dots
-run at 2x the bf16 rate on v5e; feature fidelity vs bf16 is cosine
+line measured faster than bf16 in the same bench (it does: Mosaic int8
+MXU dots run at a measured 1.555x the bf16 rate on this chip —
+tools/exp_int8_rate_pallas.py; feature fidelity vs bf16 is cosine
 >0.999, tests/test_quant.py).  The parity-exact bf16 path (CLIP
 normalization folded into the patch embedding, fused bf16 half-block
 kernels) is ALWAYS reported alongside as ``extract_bf16_img_per_s`` with
@@ -288,9 +289,11 @@ def _clip_text_builder(name, quant="none"):
 
 
 FAMILY_BUILDERS = {
-    # W8A8 serving mode (ops.quant): int8 MXU dots at 394 TOPS vs 197
-    # TFLOPs bf16 on v5e.  Analytic speed of light for this mode: 10503
-    # img/s (tools/roofline_families.py).  Feature fidelity vs bf16 is
+    # W8A8 serving mode (ops.quant): int8 MXU dots at the MEASURED
+    # 209-TOPS Mosaic rate — 1.555x bf16, not the 394-TOPS spec
+    # (tools/exp_int8_rate_pallas.py).  Analytic speed of light for
+    # this mode at the measured rate: 8512 img/s
+    # (tools/roofline_families.py).  Feature fidelity vs bf16 is
     # cosine >0.999 (tests/test_quant.py).
     "extract_int8_vitb16_img_per_s": _clip_builder("ViT-B/16", quant="int8"),
     "extract_clip_vitl14_img_per_s": _clip_builder("ViT-L/14"),
@@ -714,8 +717,9 @@ def compose_record(metrics, shed=()):
                 "measured 34.094 GF/img real MXU work vs 197 TF/s bf16 "
                 "peak (tools/roofline_clip.py); 100% bf16 roofline = "
                 "5778 img/s on one v5e chip; the int8 serving mode's "
-                "analytic speed of light is 10503 img/s (394 TOPS int8 "
-                "MXU rate)"),
+                "speed of light is 8512 img/s at the MEASURED 209-TOPS "
+                "Mosaic int8 MXU rate (1.555x bf16, not the 394-TOPS "
+                "spec — tools/exp_int8_rate_pallas.py)"),
         })
     record.update(metrics)
     if "pipeline_img_per_s" in record:

@@ -29,7 +29,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PEAK_TFS = 197.0
-INT8_TOPS = 394.0   # v5e int8 MXU rate (2x bf16)
+# MEASURED int8 MXU rate through Mosaic on this chip, not the 394-TOPS
+# spec sheet: an in-kernel chain of VMEM-resident [512,2048]x[2048,2048]
+# dots times int8 at 209 T(FL)OPS vs bf16's 134 under the same epilogue
+# (tools/exp_int8_rate_pallas.py, drift 1.005) — a 1.555x rate.  The
+# int8 speed-of-light uses the same 1.555x over the 197 TF/s bf16 peak
+# (the constant the bf16 rooflines are expressed against), i.e. the
+# ratio is what's measured, the absolute scale stays the spec peak so
+# int8 and bf16 SoLs remain comparable.  The spec 2x is not reachable
+# through Mosaic's current int8 matmul lowering on this jaxlib; rows
+# computed against it would claim a ceiling no kernel can hit.
+INT8_RATE_VS_BF16 = 1.555  # tools/exp_int8_rate_pallas.py (2026-08-19)
+INT8_TOPS = PEAK_TFS * INT8_RATE_VS_BF16
 CLS_ROWS = 8
 
 
