@@ -482,26 +482,48 @@ def pipeline_bench(extract_sum, variables):
     float(extract_sum(variables, staged0))
 
     # steady-state composed pipeline: decode prefetch -> transfer thread
-    # (lag 2) -> forward -> fetch features one batch behind
+    # (lag 2) -> forward -> fetch features one batch behind.  The loop
+    # self-attributes its wall-clock: time blocked on the transfer
+    # future (link-bound), on the per-batch feature fetch, and on the
+    # decode iterator — whatever remains is dispatch + true overlap.
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
                               prefetch=4)
+    t_wait = t_fetch = t_decode = 0.0
     with ThreadPoolExecutor(max_workers=1) as pool:
         t0 = time.time()
         futs, outs = deque(), []
         fetched = 0
-        for imgs, _, _ in loader:
+        it = iter(loader)
+        while True:
+            td = time.time()
+            batch = next(it, None)
+            t_decode += time.time() - td
+            if batch is None:
+                break
+            imgs = batch[0]
             futs.append(pool.submit(
                 xfer, imgs.reshape(imgs.shape[0], -1)))
             if len(futs) >= 2:
-                outs.append(extract_sum(variables, futs.popleft().result()))
+                tw = time.time()
+                staged = futs.popleft().result()
+                t_wait += time.time() - tw
+                outs.append(extract_sum(variables, staged))
             if len(outs) >= 2:
+                tf = time.time()
                 float(outs[fetched])  # fetch-behind, like cli/features.py
+                t_fetch += time.time() - tf
                 fetched += 1
         while futs:
-            outs.append(extract_sum(variables, futs.popleft().result()))
+            tw = time.time()
+            staged = futs.popleft().result()
+            t_wait += time.time() - tw
+            outs.append(extract_sum(variables, staged))
         for o in outs[fetched:]:
+            tf = time.time()
             float(o)
-        pipe_rate = PIPELINE_IMAGES / (time.time() - t0)
+            t_fetch += time.time() - tf
+        total = time.time() - t0
+        pipe_rate = PIPELINE_IMAGES / total
     link_bound = transfer_b_mbps * 2**20 / (224 * 224 * 3)
     # the composed loop's ceiling in THIS episode is its BINDING stage:
     # usually the relay's post-fetch H2D cap, but when the host is busy
@@ -516,6 +538,15 @@ def pipeline_bench(extract_sum, variables):
         "pipeline_link_bound_img_per_s": round(link_bound, 1),
         "pipeline_bound_img_per_s": round(bound, 1),
         "pipeline_vs_link_bound": round(pipe_rate / bound, 2),
+        # wall-clock self-attribution of the composed loop: fraction of
+        # total blocked on the H2D transfer future / the per-batch
+        # feature fetch / the decode iterator — when blocked_transfer
+        # dominates, the composed loop is tracking the link cap and the
+        # residual ratio gap is the cap's own intra-episode movement,
+        # not framework composition loss
+        "pipeline_blocked_transfer_frac": round(t_wait / total, 2),
+        "pipeline_blocked_fetch_frac": round(t_fetch / total, 2),
+        "pipeline_blocked_decode_frac": round(t_decode / total, 2),
     }
 
 
