@@ -77,6 +77,7 @@ def test_train_xy_learns_and_aligns():
     assert 0 <= res.final_mknn <= 1
 
 
+@pytest.mark.heavy
 def test_train_x_mode_only_optimizes_x():
     train = generate_data(_cfg(42, 1024))
     train2 = generate_data(_cfg(44, 1024, dist="laplace"))

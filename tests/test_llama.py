@@ -116,6 +116,7 @@ def _save_tiny_llama(d, hidden_size=32, heads=4):
         eos_token="</s>").save_pretrained(d)
 
 
+@pytest.mark.heavy
 def test_textmodel_native_backend_matches_torch(tmp_path):
     """TextModel 'native' backend (in-house LlamaEncoder) pools identically
     to the HF torch backend on a locally-saved tiny checkpoint."""

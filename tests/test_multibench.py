@@ -115,6 +115,7 @@ def test_seq_transformer_causality():
                                atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_seq_transformer_out_last_gathers_valid():
     model = SeqTransformer(8, 10, nhead=5, num_layers=1, out_last=True)
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 6, 8)),

@@ -91,6 +91,7 @@ def test_attn_q8_kernel_matches_q8_reference(causal):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.heavy
 def test_attn_q8qkv_kernel_matches_q8qkv_reference(causal):
     """qkv-only variant (q8_out=False): Pallas kernel (interpret) vs its
     simulated-int8 twin (int8 QKV dot, bf16 out-projection)."""
@@ -185,6 +186,7 @@ def test_clip_int8_feature_fidelity():
     assert _cos(q_u8, f_u8) > 0.995
 
 
+@pytest.mark.heavy
 def test_dino_int8_feature_fidelity():
     """DinoViT with quant='int8' (layerscale folded before quantization)
     stays within ~1e-3 cosine of the bf16 tower."""

@@ -93,6 +93,21 @@ def _fits_default_vmem(k, heads, head_dim, seq_len, itemsize=2,
     return w_bytes + tile_bytes <= 13 * 1024 * 1024
 
 
+def _default_fwd_g(seq_len):
+    """Measured per-shape default for the forward kernels' per-program
+    batch group G (same-window UML_KERNEL_G sweeps on the v5e chip,
+    round 4): the S=197 ViT-B/16 headline keeps G=4 (round-2 setting);
+    the S=257 towers run +8-11% at G=2 (DINOv2 B/14 3607.6 vs 3325.6,
+    L/14 1063.8 vs ~957 img/s — the [S,S] fp32 score temps double-buffer
+    poorly at G=4); the S=785 DINO-B/8 runs best at G=1 (1079.9 vs 971.3
+    at G=2).  UML_KERNEL_G still overrides for A/Bs."""
+    if seq_len >= 512:
+        return 1
+    if seq_len >= 224:
+        return 2
+    return 4
+
+
 def _group_and_params(bsz, default_g=4, env="UML_KERNEL_G", need_fn=None):
     """(per-program batch group G, CompilerParams) for the block kernels.
 
@@ -419,7 +434,8 @@ def _block_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
     m3 = w_eff.shape[1]
     hd = heads * head_dim
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: None if _fits_default_vmem(
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: None if _fits_default_vmem(
             k, heads, head_dim, s, w_eff.dtype.itemsize, True)
         else fused_block_vmem_bytes(
             k, heads, head_dim, s, w_eff.dtype.itemsize, True, g))
@@ -459,7 +475,8 @@ def _block_cls_fwd(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
     m3 = w_eff.shape[1]
     hd = heads * head_dim
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: None if _fits_default_vmem(
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: None if _fits_default_vmem(
             k, heads, head_dim, s, w_eff.dtype.itemsize, True)
         else fused_block_vmem_bytes(
             k, heads, head_dim, s, w_eff.dtype.itemsize, True, g))

@@ -122,7 +122,7 @@ def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
 @functools.partial(jax.jit, static_argnames=("eps", "activation",
                                              "interpret"))
 def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
-    from uml_tpu.ops.fused_attention import _group_and_params
+    from uml_tpu.ops.fused_attention import _default_fwd_g, _group_and_params
 
     bsz, s, k = x.shape
     m = w1.shape[1]
@@ -130,7 +130,8 @@ def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
     # gate) keep Mosaic's default limit — measured-good; only the newly
     # enabled larger shapes get an explicit vmem raise
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: None if 2 * k * m * w1.dtype.itemsize
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: None if 2 * k * m * w1.dtype.itemsize
         <= 10 * 1024 * 1024 and s <= 260
         else mlp_block_vmem_bytes(k, m, s, w1.dtype.itemsize, g,
                                   _mlp_slab(g, bsz, s)))

@@ -46,9 +46,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from uml_tpu.ops.fused_attention import (VMEM_CEILING, _group_and_params,
-                                         _packed_enabled, _pair_attention,
-                                         fold_ln_into_matmul)
+from uml_tpu.ops.fused_attention import (VMEM_CEILING, _default_fwd_g,
+                                         _group_and_params, _packed_enabled,
+                                         _pair_attention, fold_ln_into_matmul)
 from uml_tpu.ops.ln_matmul import _KERNEL_ACTIVATIONS
 
 INT8_MAX = 127.0
@@ -288,8 +288,9 @@ def _block_q8_fwd(x, wq, wsc, b_eff, wo_ops, bo, eps, heads, head_dim,
     hd = heads * head_dim
     slab = _q8_slab_enabled()
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g,
-                                                   slab, q8_out=q8_out))
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: block_q8_vmem_bytes(k, heads, head_dim, s, g,
+                                              slab, q8_out=q8_out))
     wo_specs = [pl.BlockSpec((hd, k), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)]
     if q8_out:
@@ -341,7 +342,8 @@ def _mlp_q8_fwd(x, w1q, w1sc, b1, w2q, w2sc, b2, eps, activation, interpret):
         return min(g, 2) if s <= 512 else 1
 
     g, cparams = _group_and_params(
-        bsz, need_fn=lambda g: mlp_q8_vmem_bytes(k, m, s, g, _slab(g)))
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: mlp_q8_vmem_bytes(k, m, s, g, _slab(g)))
     return pl.pallas_call(
         functools.partial(_mlp_q8_kernel, eps=eps, activation=activation,
                           slab=_slab(g)),
