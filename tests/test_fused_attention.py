@@ -297,3 +297,44 @@ def test_block_bwd_kernel_matches_reference_vjp(causal):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
             err_msg=name)
+
+
+def test_default_fwd_g_measured_table():
+    """The forward kernels' default per-program batch group follows the
+    measured per-shape table (round-4 UML_KERNEL_G sweeps): G=4 for the
+    S=197 headline (and S=77 text), G=2 for the S=257 towers, G=1 for
+    the S=785 DINO-B/8."""
+    from uml_tpu.ops.fused_attention import _default_fwd_g
+
+    assert _default_fwd_g(77) == 4
+    assert _default_fwd_g(197) == 4
+    assert _default_fwd_g(257) == 2
+    assert _default_fwd_g(785) == 1
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_block_bwd_interleaved_matches_sequential(causal, monkeypatch):
+    """UML_BWD_IL=N (the stage-interleaved backward) is math-identical
+    to the sequential trace order: same dx/dqkv/xn/attn, tight tol
+    (accumulation order is preserved per (pair, half) chain)."""
+    from uml_tpu.ops.fused_attention import _block_bwd_call
+
+    rng = np.random.default_rng(11)
+    heads, d = 4, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    g = jnp.asarray(rng.standard_normal(
+        (x.shape[0], x.shape[1], x.shape[2])), jnp.float32)
+
+    base = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5, heads, d,
+                           causal, True)
+    # __wrapped__ bypasses the jit cache: UML_BWD_IL is read at trace
+    # time, so the cached `base` trace must not be reused here
+    monkeypatch.setenv("UML_BWD_IL", "3")
+    got = _block_bwd_call.__wrapped__(x, g, w_eff, b_eff, wo, 1e-5,
+                                      heads, d, causal, True)
+    for name, a, b in zip(("dx", "dqkv", "xn", "attn"), got, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
