@@ -16,14 +16,21 @@ nothing.  Structure now:
     measured, and the parent merges whatever arrived even when a child
     is killed at its timeout — a stall costs the un-emitted lines, never
     the accumulated ones;
-  * measurement order is priority order: core child (bf16 headline ->
-    train step -> pipeline) -> int8 serving line (the headline
-    candidate, with one immediate retry) -> family survey groups ->
-    text towers; the relay health probe runs ONLY if the core child
-    comes back empty (a healthy probe costs ~3 min of budget through
-    this relay); when the deadline nears, remaining lines are shed and
-    listed in the record's ``"shed"`` field — an explicit statement of
-    what was not measured, not a silent truncation;
+  * ALL measurements ride ONE full child process, in priority order:
+    bf16 headline -> int8 serving line (the headline candidate) ->
+    train step -> pipeline -> family survey -> text towers.  The relay
+    charges a ~200-230 s first-program handshake to EVERY process
+    regardless of compile-cache state (measured: a trivial matmul's
+    first call costs 228 s in a fresh process), so per-group child
+    processes — round 3's layout — were the single most expensive item
+    in the budget and are exactly why family lines shed;
+  * the relay health probe runs ONLY if the full child comes back empty
+    (a healthy probe costs ~3.5 min of budget: its own handshake);
+    missing family keys get ONE follow-up child if >=300 s of budget
+    remains (enough for the handshake plus a measurement); whatever
+    still doesn't fit is shed and listed in the record's ``"shed"``
+    field — an explicit statement of what was not measured, not a
+    silent truncation;
   * the parent ALWAYS prints the JSON line, with ``SAFETY_S`` seconds of
     margin before the budget expires.
 
@@ -122,16 +129,20 @@ CORE_KEYS = (
     "pipeline_img_per_s",
 )
 
-# family groups, priority-ordered; each group is one child process (one
-# device init amortized over its keys; the first key of a group is the
-# highest-priority one so a mid-group stall costs the cheaper lines)
-FAMILY_GROUPS = (
-    ("extract_int8_vitb16_img_per_s",),  # the serving-headline candidate
-    ("extract_clip_vitl14_img_per_s", "extract_dinov2_vitl14_img_per_s"),
-    ("extract_dinov2_vitb14_img_per_s", "extract_dino_vitb8_img_per_s"),
-    ("extract_text_bf16_sent_per_s", "extract_text_int8_sent_per_s"),
-    ("extract_clip_rn50_img_per_s",),
+# survey keys after the int8 serving line, priority-ordered; all run in
+# the ONE full core child (the relay charges ~200-230 s of first-program
+# handshake per process, so extra children are the single most expensive
+# thing a bench can spend budget on)
+FAMILY_SURVEY_ORDER = (
+    "extract_dinov2_vitb14_img_per_s",
+    "extract_dinov2_vitl14_img_per_s",
+    "extract_clip_vitl14_img_per_s",
+    "extract_text_bf16_sent_per_s",
+    "extract_text_int8_sent_per_s",
+    "extract_dino_vitb8_img_per_s",
+    "extract_clip_rn50_img_per_s",
 )
+ALL_FAMILY_KEYS = ("extract_int8_vitb16_img_per_s",) + FAMILY_SURVEY_ORDER
 
 
 def _remaining():
@@ -145,6 +156,16 @@ def median(xs):
 def _emit(d):
     """Child-side: stream one metric dict as its own stdout JSON line."""
     print(json.dumps(d), flush=True)
+
+
+def _mark(label, _t0=[None]):
+    """Child-side stage clock (stderr): where does the child's time go?"""
+    if _t0[0] is None:
+        _t0[0] = _START
+    now = time.time()
+    print(f"bench-child: +{now - _t0[0]:6.1f}s {label}",
+          file=sys.stderr, flush=True)
+    _t0[0] = now
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +244,7 @@ def stage_tokens(batch):
 def device_bench(extract_sum, variables, imgs, iters=ITERS, runs=RUNS):
     batch = imgs.shape[0]
     float(extract_sum(variables, imgs))  # compile
+    _mark("  compile+first-dispatch done")
     rates = []
     for _ in range(runs):
         t0 = time.time()
@@ -332,10 +354,22 @@ def run_core():
     pre-fetch regime, then headline bf16 -> train bs128 -> train bs512 ->
     pipeline, streaming each metric as soon as it is measured and
     checking the child budget (``UML_CORE_BUDGET_S``) before each
-    optional segment."""
+    optional segment.
+
+    When ``UML_CORE_FULL=1`` (the default orchestration), the SAME child
+    continues into the int8 serving line, the family survey, and the
+    text towers — the relay charges ~200-230 s of first-program
+    handshake to EVERY process regardless of compile cache state
+    (measured: a trivial pre-compiled matmul's first call costs 228 s in
+    a fresh process; the old per-group child layout paid that up to six
+    times, which is exactly why round-3 style runs shed the survey).
+    One process pays the handshake once; a mid-run stall costs the
+    un-emitted lines only, and the parent re-runs ONLY the missing keys
+    in a follow-up child when budget remains."""
     t_child = time.time()
     budget = float(os.environ.get("UML_CORE_BUDGET_S", 1e9))
     lean = os.environ.get("UML_CORE_LEAN") == "1"
+    full = os.environ.get("UML_CORE_FULL") == "1"
 
     def left():
         return budget - (time.time() - t_child)
@@ -345,6 +379,7 @@ def run_core():
 
     from uml_tpu.models.clip import build_clip
 
+    _mark("core: imports done")
     model = build_clip("ViT-B/16", dtype=jnp.bfloat16,
                        attn_impl=os.environ.get("UML_ATTN", "auto"))
     variables, host_vars = init_on_cpu(lambda: model.init(
@@ -352,6 +387,7 @@ def run_core():
         jnp.zeros((1, 224, 224, 3), jnp.float32),
         jnp.zeros((1, 77), jnp.int32),
     ), keep_host=True)
+    _mark("core: init+staged")
     extract_sum = make_extract(model)
     extract_pipe = make_extract(model)  # separate jit cache entry per shape
 
@@ -359,9 +395,16 @@ def run_core():
     headline_imgs = stage_input(BATCH, 224 * 224 * 3)
     train_u8 = stage_input(128, 224 * 224 * 3)
     train_u8_512 = None if lean else stage_input(512, 224 * 224 * 3)
+    _mark("core: inputs staged")
 
     _emit({"extract_bf16_img_per_s":
            round(device_bench(extract_sum, variables, headline_imgs), 1)})
+    _mark("core: bf16 headline measured")
+
+    if full and left() > 150:
+        # the serving headline candidate rides in the SAME process right
+        # after the bf16 line (highest-priority family key)
+        _measure_family("extract_int8_vitb16_img_per_s", headline_imgs)
 
     do_512 = train_u8_512 is not None and left() > 240
     rates = train_bench(model, variables,
@@ -369,8 +412,9 @@ def run_core():
     _emit({"train_full_finetune_img_per_s": round(rates[0], 1)})
     if do_512:
         _emit({"train_full_finetune_bs512_img_per_s": round(rates[1], 1)})
+    _mark("core: train measured")
 
-    if not lean and left() > 200:
+    if not lean and left() > 120:
         # the train step DONATED the visual params (deleting those device
         # buffers) — re-stage them from the kept host copy (~6 s at the
         # post-fetch link rate, far cheaper than a fresh device init)
@@ -381,42 +425,62 @@ def run_core():
         pipe = pipeline_bench(extract_pipe, variables)
         if pipe is not None:
             _emit(pipe)
+        _mark("core: pipeline measured")
     else:
         print("core: pipeline skipped (budget)", file=sys.stderr)
+
+    if full:
+        # family survey + text towers, priority order, budget-guarded:
+        # each key needs build+stage+warm-compile+measure (~40-120 s
+        # post-handshake)
+        for key in FAMILY_SURVEY_ORDER:
+            if left() < 110:
+                print(f"core: {key} skipped (budget)", file=sys.stderr)
+                continue
+            _measure_family(key, headline_imgs)
+
+
+def _measure_family(key, staged_imgs=None):
+    """Build + measure one family tower, streaming its JSON line.  A
+    per-key exception costs that key only.  ``staged_imgs``: an already-
+    staged uint8 batch to reuse (saves a post-fetch-regime put)."""
+    try:
+        model, variables, method = FAMILY_BUILDERS[key]()
+        _mark(f"{key}: built+staged")
+        import jax
+
+        @jax.jit
+        def extract(v, u8, model=model, method=method):
+            return model.apply(v, u8, method=method).sum()
+
+        if key in TEXT_FAMILIES:
+            imgs = stage_tokens(FAMILY_BATCH)
+        elif (staged_imgs is not None
+              and staged_imgs.shape[0] == FAMILY_BATCH):
+            imgs = staged_imgs
+        else:
+            imgs = stage_input(FAMILY_BATCH, 224 * 224 * 3)
+        iters = (ITERS if key == "extract_int8_vitb16_img_per_s"
+                 else SURVEY_ITERS)
+        _emit({key: round(
+            device_bench(extract, variables, imgs, iters=iters), 1)})
+        _mark(f"{key}: measured")
+    except Exception as e:  # pragma: no cover - device-path only
+        print(f"family: {key} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 def run_families_child(keys):
     """Child: build + measure the listed family towers sequentially,
-    streaming one JSON line per key.  One device init amortized over the
-    group; after the first fetch the process is in the post-fetch regime,
-    so later keys' weights stage at the capped rate (~20-40 s for the
-    large towers) — still far cheaper than a fresh device init, and a
-    per-key exception costs that key only."""
+    streaming one JSON line per key (the follow-up path for keys the
+    full core child did not reach)."""
     budget = float(os.environ.get("UML_FAMILY_CHILD_BUDGET_S", 1e9))
     t_child = time.time()
     for key in keys:
         if time.time() - t_child > budget:
             print(f"family child: {key} skipped (budget)", file=sys.stderr)
             continue
-        try:
-            model, variables, method = FAMILY_BUILDERS[key]()
-            import jax
-
-            @jax.jit
-            def extract(v, u8, model=model, method=method):
-                return model.apply(v, u8, method=method).sum()
-
-            if key in TEXT_FAMILIES:
-                imgs = stage_tokens(FAMILY_BATCH)
-            else:
-                imgs = stage_input(FAMILY_BATCH, 224 * 224 * 3)
-            iters = (ITERS if key == "extract_int8_vitb16_img_per_s"
-                     else SURVEY_ITERS)
-            _emit({key: round(
-                device_bench(extract, variables, imgs, iters=iters), 1)})
-        except Exception as e:  # pragma: no cover - device-path only
-            print(f"family child: {key} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+        _measure_family(key)
 
 
 def pipeline_bench(extract_sum, variables):
@@ -458,12 +522,24 @@ def pipeline_bench(extract_sum, variables):
              for i in range(PIPELINE_IMAGES)]
     batch_mb = PIPELINE_BATCH * 224 * 224 * 3 / 2**20
 
-    # host decode stage rate
+    # host decode stage rate.  The first batch carries the worker-pool
+    # spin-up and prefetch ramp (only ~4 batches total at bs512), which
+    # underestimated the decode bound enough that the composed loop
+    # could exceed it (a >1.0 "vs bound" ratio is not a bound) — so the
+    # steady-state rate is timed over the post-first batches only.
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
                               prefetch=4)
+    host_batches = []
     t0 = time.time()
-    host_batches = [b[0].reshape(len(b[1]), -1) for b in loader]
-    decode_rate = PIPELINE_IMAGES / (time.time() - t0)
+    warm_t = warm_n = None
+    for b in loader:
+        host_batches.append(b[0].reshape(len(b[1]), -1))
+        if warm_t is None:
+            warm_t, warm_n = time.time(), len(b[1])
+    steady_n = PIPELINE_IMAGES - warm_n
+    steady_s = time.time() - warm_t
+    decode_rate = (steady_n / steady_s if steady_n > 0 and steady_s > 0
+                   else PIPELINE_IMAGES / (time.time() - t0))
 
     def xfer(f):
         # synced put (unsynced ones trickle and queue later transfers
@@ -681,33 +757,20 @@ def probe_relay():
         return False
 
 
-def family_bench(groups=FAMILY_GROUPS, deadline_fn=_remaining):
-    """Run the family groups, each in its own bounded child.  The int8
-    serving line (first group) gets one IMMEDIATE retry on failure — a
-    stalled survey line costs a survey line, a stalled headline candidate
-    costs the round.  Whatever doesn't fit the deadline is shed."""
-    metrics, shed = {}, []
-    per_group_cap = float(os.environ.get("UML_FAMILY_TIMEOUT_S", 420))
-    for gi, group in enumerate(groups):
-        rem = deadline_fn()
-        min_needed = 90 + 30 * len(group)  # init + a line each, optimistic
-        if rem < min_needed:
-            shed.extend(k for k in group if k not in metrics)
-            continue
-        timeout_s = min(per_group_cap, rem - 10)
-        env = {"UML_BENCH_FAMILY": ",".join(group),
-               "UML_FAMILY_CHILD_BUDGET_S": str(timeout_s - 5)}
-        got, status = run_child(env, timeout_s)
-        metrics.update(got)
-        is_headline_group = group[0] == "extract_int8_vitb16_img_per_s"
-        missing = [k for k in group if k not in metrics]
-        if missing and is_headline_group and deadline_fn() > min_needed:
-            got, status = run_child(env, min(per_group_cap,
-                                             deadline_fn() - 10))
-            metrics.update(got)
-            missing = [k for k in group if k not in metrics]
-        shed.extend(missing)
-    return metrics, shed
+def family_followup(missing, deadline_fn=_remaining):
+    """One follow-up child for keys the full core child did not reach —
+    only worth launching when the remaining budget covers the ~200-230 s
+    per-process relay handshake plus at least one measurement."""
+    metrics = {}
+    rem = deadline_fn()
+    if not missing or rem < 300:
+        return metrics
+    timeout_s = rem - 10
+    env = {"UML_BENCH_FAMILY": ",".join(missing),
+           "UML_FAMILY_CHILD_BUDGET_S": str(timeout_s - 5)}
+    got, _status = run_child(env, timeout_s)
+    metrics.update(got)
+    return metrics
 
 
 def compose_record(metrics, shed=()):
@@ -769,15 +832,19 @@ def compose_record(metrics, shed=()):
 def main():
     metrics, shed = {}, []
 
-    # core: headline bf16 -> train -> pipeline, one child (one device
-    # init), streaming; reserve budget for the int8 serving line after.
-    # No up-front health probe: a healthy probe costs ~3 min through the
-    # relay; the probe runs only if the core child comes back empty, to
-    # distinguish a relay outage from a framework regression.
-    core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 660)),
-                       max(120.0, _remaining() - 240))
+    # ONE full measurement child: headline bf16 -> int8 serving line ->
+    # train -> pipeline -> family survey -> text towers, all streaming.
+    # The relay's ~200-230 s per-process first-program handshake makes
+    # extra children the most expensive budget item, so everything rides
+    # one process and the parent merges whatever streamed even on a
+    # timeout kill.  No up-front health probe: the probe runs only if
+    # the child comes back empty, to distinguish a relay outage from a
+    # framework regression.
+    core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 930)),
+                       max(120.0, _remaining() - 30))
     got, status = run_child(
-        {"UML_BENCH_CORE": "1", "UML_CORE_BUDGET_S": str(core_timeout - 5)},
+        {"UML_BENCH_CORE": "1", "UML_CORE_FULL": "0" if SKIP_FAMILIES
+         else "1", "UML_CORE_BUDGET_S": str(core_timeout - 5)},
         core_timeout)
     metrics.update(got)
     if not metrics:
@@ -804,12 +871,10 @@ def main():
             metrics.update(got)
     shed.extend(k for k in CORE_KEYS if k not in metrics)
 
-    groups = FAMILY_GROUPS[:1] if SKIP_FAMILIES else FAMILY_GROUPS
-    fam_metrics, fam_shed = family_bench(groups)
-    metrics.update(fam_metrics)
-    shed.extend(fam_shed)
-    if SKIP_FAMILIES:
-        shed.extend(k for g in FAMILY_GROUPS[1:] for k in g)
+    missing = [k for k in ALL_FAMILY_KEYS if k not in metrics]
+    if not SKIP_FAMILIES:
+        metrics.update(family_followup(missing))
+    shed.extend(k for k in ALL_FAMILY_KEYS if k not in metrics)
 
     print(json.dumps(compose_record(metrics, shed)))
 

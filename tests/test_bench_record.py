@@ -117,51 +117,43 @@ def _patch_children(monkeypatch, outcomes, calls):
     monkeypatch.setattr(subprocess, "run", fake_run)
 
 
-def test_family_headline_retried_immediately(monkeypatch):
+def test_family_followup_runs_missing_keys(monkeypatch):
     calls = []
-    key = "extract_int8_vitb16_img_per_s"
+    missing = ["extract_clip_vitl14_img_per_s",
+               "extract_dinov2_vitl14_img_per_s"]
     _patch_children(
         monkeypatch,
-        {key: ["", json.dumps({key: 6600.0})]}, calls)
-    metrics, shed = bench.family_bench(
-        groups=((key,),), deadline_fn=lambda: 1000.0)
-    assert metrics[key] == 6600.0
-    assert calls == [key, key]
-    assert shed == []
+        {",".join(missing):
+         [json.dumps({missing[0]: 958.0})]}, calls)
+    metrics = bench.family_followup(missing, deadline_fn=lambda: 1000.0)
+    assert metrics[missing[0]] == 958.0
+    assert calls == [",".join(missing)]
 
 
-def test_family_group_partial_result_sheds_missing(monkeypatch):
-    calls = []
-    group = ("extract_clip_vitl14_img_per_s",
-             "extract_dinov2_vitl14_img_per_s")
-    _patch_children(
-        monkeypatch,
-        {",".join(group):
-         [json.dumps({group[0]: 958.0})]}, calls)
-    metrics, shed = bench.family_bench(
-        groups=(group,), deadline_fn=lambda: 1000.0)
-    assert metrics[group[0]] == 958.0
-    assert shed == [group[1]]
-    # survey groups get no immediate retry
-    assert calls == [",".join(group)]
-
-
-def test_family_deadline_sheds_whole_group(monkeypatch):
+def test_family_followup_skipped_when_budget_below_handshake(monkeypatch):
+    # a follow-up child pays the ~200-230 s per-process relay handshake
+    # before its first measurement: launching one into a <300 s window
+    # would burn the rest of the budget for nothing
     calls = []
     _patch_children(monkeypatch, {}, calls)
-    group = ("extract_text_bf16_sent_per_s", "extract_text_int8_sent_per_s")
-    metrics, shed = bench.family_bench(
-        groups=(group,), deadline_fn=lambda: 30.0)
+    missing = ["extract_text_bf16_sent_per_s"]
+    metrics = bench.family_followup(missing, deadline_fn=lambda: 250.0)
     assert metrics == {}
-    assert sorted(shed) == sorted(group)
     assert calls == []  # never launched
 
 
-def test_family_groups_cover_all_builders():
-    grouped = [k for g in bench.FAMILY_GROUPS for k in g]
-    assert sorted(grouped) == sorted(bench.FAMILY_BUILDERS)
-    # the serving-headline candidate leads the first group
-    assert bench.FAMILY_GROUPS[0][0] == "extract_int8_vitb16_img_per_s"
+def test_family_followup_noop_when_nothing_missing(monkeypatch):
+    calls = []
+    _patch_children(monkeypatch, {}, calls)
+    assert bench.family_followup([], deadline_fn=lambda: 1000.0) == {}
+    assert calls == []
+
+
+def test_family_keys_cover_all_builders():
+    assert sorted(bench.ALL_FAMILY_KEYS) == sorted(bench.FAMILY_BUILDERS)
+    # the serving-headline candidate leads (measured right after bf16,
+    # before the survey, inside the one full core child)
+    assert bench.ALL_FAMILY_KEYS[0] == "extract_int8_vitb16_img_per_s"
 
 
 def test_text_family_keys_in_builders():
