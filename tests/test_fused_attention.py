@@ -338,3 +338,60 @@ def test_block_bwd_interleaved_matches_sequential(causal, monkeypatch):
     for name, a, b in zip(("dx", "dqkv", "xn", "attn"), got, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_stash_forward_matches_plain_and_stashes_recompute():
+    """_block_fwd_stash's primal output == the plain forward kernel's,
+    and the stashed qkv/attn are bit-identical to what the backward
+    kernel recomputes (same dots, same casts) — the contract that lets
+    the stash backward skip the recompute without changing any grad."""
+    from uml_tpu.ops.fused_attention import (_block_bwd_call,
+                                             _block_fwd, _block_fwd_stash)
+
+    rng = np.random.default_rng(21)
+    heads, d = 2, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+
+    plain = _block_fwd(x, w_eff, b_eff, wo, bo, 1e-5, heads, d, False, True)
+    out, qkv, attn = _block_fwd_stash(x, w_eff, b_eff, wo, bo, 1e-5,
+                                      heads, d, False, True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+
+    g = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    _, _, _, attn_re = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5,
+                                       heads, d, False, True)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_re),
+                               atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_stash_backward_matches_plain_backward(causal):
+    """_block_bwd_stash_call fed the forward-stashed qkv produces the
+    same dx/dqkv/xn as the recomputing backward (tight tol: the stashed
+    qkv is the same value the recompute produces)."""
+    from uml_tpu.ops.fused_attention import (_block_bwd_call,
+                                             _block_bwd_stash_call,
+                                             _block_fwd_stash)
+
+    rng = np.random.default_rng(22)
+    heads, d = 4, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    g = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    base = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5, heads, d,
+                           causal, True)
+    _, qkv, _ = _block_fwd_stash(x, w_eff, b_eff, wo, bo, 1e-5, heads, d,
+                                 causal, True)
+    got = _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, 1e-5,
+                                heads, d, causal, True)
+    for name, a, b in zip(("dx", "dqkv", "xn"), got, base[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)

@@ -367,6 +367,100 @@ def _block_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
                     + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _stash_enabled():
+    """Train-time stash of the attention half-block's qkv projection and
+    attention output (UML_BWD_STASH, default ON for the non-causal
+    vision path): the backward otherwise RECOMPUTES qkv (2*S*K*3K MACs —
+    ~30% of the whole backward's MXU work at ViT-B) and the attention
+    output (the per-pair e@v dots, another ~5%) from x.  Saving both
+    from the forward trades ~1.2 MB/img/layer of HBM traffic (~9 ms at
+    bs512 on the v5e's 819 GB/s) for that recompute, and the saved
+    tensors are BIT-IDENTICAL to the recompute (same dots, same casts),
+    so the backward's math is unchanged.  Memory cost: S*(3K+K)*2 B per
+    img per layer (1.9 GB at bs128, 7.4 GB at bs512 for ViT-B/16) on
+    top of the 2 saved residuals — the reference finetunes at bs64-128
+    (finetune.py HYPER_DICT), where this is cheap."""
+    return os.environ.get("UML_BWD_STASH", "0") == "1"
+
+
+def _block_kernel_stash(x_ref, w_ref, b_ref, wo_ref, bo_ref,
+                        o_ref, qkv_ref, attn_ref, *,
+                        eps, heads, head_dim, causal):
+    """_block_kernel twin that also writes the qkv projection and the
+    attention output (pre out-proj, v-bias included) to HBM for the
+    stash backward.  Used only under differentiation (custom_vjp fwd)."""
+    g = x_ref.shape[0]
+    for j in range(g):
+        xf = x_ref[j].astype(jnp.float32)                # [S, K]
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+        qkv = jnp.dot(xn, w_ref[:],
+                      preferred_element_type=jnp.float32).astype(
+            w_ref.dtype)
+        qkv_ref[j] = qkv.astype(qkv_ref.dtype)
+
+        cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
+                               causal=causal, dot_dtype=w_ref.dtype,
+                               b_eff=b_ref[:])
+        attn = jnp.concatenate(cols, axis=-1).astype(wo_ref.dtype)
+        attn_ref[j] = attn.astype(attn_ref.dtype)
+        delta = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+        o_ref[j] = (xf + delta
+                    + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "causal", "interpret"))
+def _block_fwd_stash(x, w_eff, b_eff, wo, bo, eps, heads, head_dim,
+                     causal, interpret):
+    bsz, s, k = x.shape
+    m3 = w_eff.shape[1]
+    hd = heads * head_dim
+    g, cparams = _group_and_params(
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: fused_block_vmem_bytes(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True, g)
+        + 2 * g * s * (m3 + hd) * x.dtype.itemsize)
+    return pl.pallas_call(
+        functools.partial(_block_kernel_stash, eps=eps, heads=heads,
+                          head_dim=head_dim, causal=causal),
+        grid=(bsz // g,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s, m3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # out
+            jax.ShapeDtypeStruct((bsz, s, m3), x.dtype),   # qkv stash
+            jax.ShapeDtypeStruct((bsz, s, hd), x.dtype),   # attn stash
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * m3 + 4 * bsz * heads * s * s * head_dim
+                   + 2 * bsz * s * hd * k),
+            bytes_accessed=((2 * s * k + s * m3 + s * hd) * bsz
+                            * x.dtype.itemsize
+                            + (w_eff.size + wo.size) * w_eff.dtype.itemsize),
+            transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, w_eff, b_eff, wo, bo)
+
+
 CLS_ROWS = 8  # minimum sublane tile; row 0 (the CLS token) is what's used
 
 
@@ -913,6 +1007,175 @@ def _block_bwd_one_il(x_ref, g_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
     dx_ref[j] = (dxl + gof.astype(jnp.float32)).astype(dx_ref.dtype)
 
 
+def _block_bwd_one_stash(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
+                         dx_ref, dqkv_ref, xn_ref, j, *, eps, heads,
+                         head_dim, hp, ln2, scale, dot_dtype, half_masks,
+                         causal_mask=None):
+    """_block_bwd_one with the forward-stashed qkv: skips the qkv
+    recompute dot (2*S*K*3K MACs, ~30% of the backward's MXU work) and
+    the per-pair e@v output recompute (~5% more — dwo contracts the
+    forward-stashed attention output outside).  The stashed qkv is
+    bit-identical to what the recompute produced (same dot, same cast),
+    so every downstream value matches _block_bwd_one exactly."""
+    xf = x_ref[j].astype(jnp.float32)                        # [S, K]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn32 = (xf - mean) * rstd
+    xn_ref[j] = xn32.astype(xn_ref.dtype)
+
+    qkv = qkv_ref[j]
+
+    gof = g_ref[j]
+    dattn = jax.lax.dot_general(
+        gof, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [S, H*D]
+
+    s = xf.shape[0]
+    dqkv_cols = []
+    for p in range(heads // 2):
+        q2 = qkv[:, p * PAIR_W:(p + 1) * PAIR_W]
+        k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
+        v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
+        bq2 = b_ref[p * PAIR_W:(p + 1) * PAIR_W].astype(jnp.float32)
+        d_pair = dattn[:, p * PAIR_W:(p + 1) * PAIR_W]
+        dq2 = jnp.zeros((s, PAIR_W), jnp.float32)
+        dk2 = jnp.zeros((s, PAIR_W), jnp.float32)
+        dv2 = jnp.zeros((s, PAIR_W), jnp.float32)
+        for m in half_masks:
+            ms = (m * scale).astype(dot_dtype)
+            qm = q2 * ms + (bq2[None, :] * scale * m).astype(dot_dtype)
+            sc = jax.lax.dot_general(
+                qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [S, S]
+            if causal_mask is not None:
+                sc = jnp.where(causal_mask, sc, -1e30)
+                mx = jnp.max(sc, axis=-1, keepdims=True)
+                e = jnp.exp2(sc - mx)                        # fp32
+                linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            else:
+                e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP))   # fp32
+                linv = 1.0 / jnp.maximum(
+                    jnp.sum(e, axis=-1, keepdims=True), 1e-30)  # [S, 1]
+            eb = e.astype(dot_dtype)
+            vm = v2 * m.astype(dot_dtype)
+            dO = d_pair * m                                  # [S, PAIR_W] f32
+            dOl = (dO * linv).astype(dot_dtype)
+            dv2 = dv2 + jax.lax.dot_general(
+                eb, dOl, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * m
+            dP = jax.lax.dot_general(
+                dO.astype(dot_dtype), vm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [S, S]
+            rd = jnp.sum(e * dP, axis=-1, keepdims=True) * linv
+            dsc = (e * (dP - rd)) * (ln2 * linv)
+            if causal_mask is None:
+                dsc = jnp.where(sc < NOMAX_CLAMP, dsc, 0.0)
+            dsc = dsc.astype(dot_dtype)
+            dq2 = dq2 + jnp.dot(dsc, k2,
+                                preferred_element_type=jnp.float32) * (
+                m * scale)
+            dk2 = dk2 + jax.lax.dot_general(
+                dsc, qm, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dqkv_cols.append((dq2.astype(dot_dtype), dk2.astype(dot_dtype),
+                          dv2.astype(dot_dtype)))
+
+    dqkvb = jnp.concatenate(
+        [c[q] for q in range(3) for c in dqkv_cols], axis=-1)
+    dqkv_ref[j] = dqkvb.astype(dqkv_ref.dtype)
+    dxn = jax.lax.dot_general(
+        dqkvb, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
+    dxl = rstd * (dxn - m1 - xn32 * m2)
+    dx_ref[j] = (dxl + gof.astype(jnp.float32)).astype(dx_ref.dtype)
+
+
+def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
+                            dx_ref, dqkv_ref, xn_ref, *,
+                            eps, heads, head_dim, causal):
+    hp = heads * head_dim
+    log2e = 1.4426950408889634
+    ln2 = 0.6931471805599453
+    scale = head_dim ** -0.5 * log2e
+    dot_dtype = w_ref.dtype
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
+    half_masks = ((lane < head_dim).astype(jnp.float32),
+                  (lane >= head_dim).astype(jnp.float32))
+    s = x_ref.shape[1]
+    causal_mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_mask = cols <= rows
+    for j in range(x_ref.shape[0]):
+        _block_bwd_one_stash(
+            x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
+            xn_ref, j, eps=eps, heads=heads, head_dim=head_dim, hp=hp,
+            ln2=ln2, scale=scale, dot_dtype=dot_dtype,
+            half_masks=half_masks, causal_mask=causal_mask)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "causal", "interpret"))
+def _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, eps, heads,
+                          head_dim, causal, interpret):
+    bsz, s, k = x.shape
+    m3 = w_eff.shape[1]
+    hd = heads * head_dim
+    grp, cparams = _group_and_params(
+        bsz, default_g=1, env="UML_BWD_G",
+        need_fn=lambda g: fused_block_vmem_bytes(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True, g)
+        + 2 * g * s * (2 * m3 + k) * x.dtype.itemsize)
+    dx, dqkv, xn = pl.pallas_call(
+        functools.partial(_block_bwd_stash_kernel, eps=eps, heads=heads,
+                          head_dim=head_dim, causal=causal),
+        grid=(bsz // grp,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, m3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, m3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # dx
+            jax.ShapeDtypeStruct((bsz, s, m3), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # xn
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * m3 + 2 * bsz * s * hd * k
+                   + 10 * bsz * heads * s * s * head_dim),
+            bytes_accessed=((4 * bsz * s * k + 2 * bsz * s * m3)
+                            * x.dtype.itemsize
+                            + (w_eff.size + wo.size) * w_eff.dtype.itemsize),
+            transcendentals=bsz * heads * s * s,
+        ),
+        interpret=interpret,
+    )(x, g, qkv, w_eff, b_eff, wo)
+    return dx, dqkv, xn
+
+
 @functools.partial(jax.jit, static_argnames=(
     "eps", "heads", "head_dim", "causal", "interpret"))
 def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
@@ -978,18 +1241,30 @@ def _fused_block(x, w_eff, b_eff, wo, bo, heads, head_dim, causal, eps):
 
 
 def _fused_block_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, causal, eps):
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and _stash_enabled() and not causal:
+        out, qkv, attn = _block_fwd_stash(x, w_eff, b_eff, wo, bo, eps,
+                                          heads, head_dim, causal, False)
+        return out, (x, w_eff, b_eff, wo, bo, qkv, attn)
     return (_fused_block(x, w_eff, b_eff, wo, bo, heads, head_dim, causal,
                          eps),
-            (x, w_eff, b_eff, wo, bo))
+            (x, w_eff, b_eff, wo, bo, None, None))
 
 
 def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps,
-                    causal=False):
+                    causal=False, qkv=None, attn=None):
     """Assemble all five grads from the Pallas backward's outputs: dx
     directly, the weight/bias grads as large 2-dim-contraction XLA dots
-    over the saved (xn, dqkv, attn)."""
-    dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, eps,
-                                         heads, head_dim, causal, False)
+    over the saved (xn, dqkv, attn).  With forward-stashed ``qkv``/
+    ``attn`` the backward kernel skips their recompute (the qkv dot is
+    ~30% of the backward's MXU work) and dwo contracts the stash."""
+    if qkv is not None:
+        dx, dqkv, xn = _block_bwd_stash_call(
+            x, g, qkv, w_eff, b_eff, wo, eps, heads, head_dim, causal,
+            False)
+    else:
+        dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, eps,
+                                             heads, head_dim, causal, False)
     nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
     dw_eff = jax.lax.dot_general(xn, dqkv, nums,
                                  preferred_element_type=jnp.float32)
@@ -1002,7 +1277,7 @@ def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps,
 
 
 def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
-    x, w_eff, b_eff, wo, bo = res
+    x, w_eff, b_eff, wo, bo, qkv, attn = res
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
         # hand-written Pallas backward (see _block_bwd_kernel) for both
@@ -1010,7 +1285,7 @@ def _fused_block_bwd(heads, head_dim, causal, eps, res, g):
         # matters when the text tower is unfrozen, but costs 2x through
         # the jnp-twin recompute when it is
         return _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads,
-                               head_dim, eps, causal)
+                               head_dim, eps, causal, qkv=qkv, attn=attn)
     _, vjp = jax.vjp(
         lambda x, w_eff, b_eff, wo, bo: _raw_block_reference(
             x, w_eff, b_eff, wo, bo, heads=heads, causal=causal, eps=eps),
