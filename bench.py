@@ -730,6 +730,11 @@ def run_child(extra_env, timeout_s):
         stdout = e.stdout
         if isinstance(stdout, bytes):
             stdout = stdout.decode(errors="replace")
+        stderr = e.stderr
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+        if stderr:  # the stage marks say where the budget went
+            sys.stderr.write(stderr[-3000:])
     except Exception as e:  # pragma: no cover
         return {}, f"error: {type(e).__name__}: {e}"
     print(f"bench: child {name} {status} in {time.time() - t0:.0f}s "

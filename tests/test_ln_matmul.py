@@ -244,3 +244,52 @@ def test_mlp_bwd_dw_kernel_matches_reference_vjp(grp, monkeypatch):
         sc = np.abs(ref).max() + 1e-9
         np.testing.assert_allclose(np.asarray(got[name]) / sc, ref / sc,
                                    atol=2e-5, rtol=2e-5, err_msg=name)
+
+
+@pytest.mark.parametrize("activation", ["quick_gelu", "gelu_exact"])
+def test_mlp_stash_forward_and_backward_match(activation):
+    """_mlp_block_fwd_stash's primal == the plain MLP kernel's, and the
+    stash backward (_mlp_bwd_via_stash, no recompute dot) matches the
+    jax.vjp of the jnp twin (fp32 here, so the stashed pre is exact)."""
+    from uml_tpu.ops.ln_matmul import (_mlp_block_fwd, _mlp_block_fwd_stash,
+                                       _mlp_bwd_via_stash,
+                                       _raw_mlp_block_reference)
+
+    rng = np.random.default_rng(31)
+    bsz, s, k, m = 3, 9, 128, 256
+    x = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((k, m)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((m, k)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+
+    plain = _mlp_block_fwd(x, w1, b1, w2, b2, 1e-5, activation, True)
+    out, pre = _mlp_block_fwd_stash(x, w1, b1, w2, b2, 1e-5, activation,
+                                    True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(plain))
+
+    ref, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2: _raw_mlp_block_reference(
+            x, w1, b1, w2, b2, eps=1e-5, activation=activation),
+        x, w1, b1, w2, b2)
+    g = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+    want = vjp(g)
+    got = _mlp_bwd_via_stash(x, g, pre, w1, b1, w2, b2, 1e-5, activation)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_mlp_stash_gate_memory_aware(monkeypatch):
+    """Auto gate: per-layer stash <= MLP_STASH_MAX_BYTES (bs128 ViT-B in,
+    bs512 out — with the attention stash bs512 would blow 16 GB HBM);
+    UML_MLP_STASH forces either way."""
+    from uml_tpu.ops.ln_matmul import _mlp_stash_enabled
+
+    monkeypatch.delenv("UML_MLP_STASH", raising=False)
+    assert _mlp_stash_enabled(128, 197, 3072, 2)       # 155 MB/layer
+    assert not _mlp_stash_enabled(512, 197, 3072, 2)   # 620 MB/layer
+    monkeypatch.setenv("UML_MLP_STASH", "1")
+    assert _mlp_stash_enabled(512, 197, 3072, 2)
+    monkeypatch.setenv("UML_MLP_STASH", "0")
+    assert not _mlp_stash_enabled(128, 197, 3072, 2)

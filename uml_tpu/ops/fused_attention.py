@@ -376,11 +376,16 @@ def _stash_enabled():
     from the forward trades ~1.2 MB/img/layer of HBM traffic (~9 ms at
     bs512 on the v5e's 819 GB/s) for that recompute, and the saved
     tensors are BIT-IDENTICAL to the recompute (same dots, same casts),
-    so the backward's math is unchanged.  Memory cost: S*(3K+K)*2 B per
-    img per layer (1.9 GB at bs128, 7.4 GB at bs512 for ViT-B/16) on
-    top of the 2 saved residuals — the reference finetunes at bs64-128
-    (finetune.py HYPER_DICT), where this is cheap."""
-    return os.environ.get("UML_BWD_STASH", "0") == "1"
+    so the backward's math is unchanged (device A/B agrees to ~1 bf16
+    ulp — two Mosaic programs may schedule fp32 sums differently).
+    Measured on the v5e (tools/exp_bwd_stash.py, same-window A/B, drift
+    control <1%): composed 12-layer fwd+bwd 454.7 -> 418.6 ms at bs512
+    (0.921x), 126.0 -> 113.5 ms at bs128 (0.901x); the stash writes are
+    free in the forward (117.7 -> 116.6 ms).  Memory cost: S*(3K+K)*2 B
+    per img per layer (1.9 GB at bs128, 7.4 GB at bs512 for ViT-B/16)
+    on top of the 2 saved residuals — the reference finetunes at
+    bs64-128 (finetune.py HYPER_DICT), where this is cheap."""
+    return os.environ.get("UML_BWD_STASH", "1") == "1"
 
 
 def _block_kernel_stash(x_ref, w_ref, b_ref, wo_ref, bo_ref,

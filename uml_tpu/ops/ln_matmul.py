@@ -162,6 +162,137 @@ def _mlp_block_fwd(x, w1, b1, w2, b2, eps, activation, interpret):
     )(x, w1, b1, w2, b2)
 
 
+MLP_STASH_MAX_BYTES = 256 * 2**20  # per-layer pre-stash cap (see gate)
+
+
+def _mlp_stash_enabled(bsz, s, m, itemsize):
+    """Train-time stash of the MLP half-block's pre-activation
+    (UML_MLP_STASH, default auto): the backward otherwise recomputes
+    pre = LN(x) @ w1 + b1 — 2*S*K*4K MACs/img/layer, one of the five
+    equal-size dots in the MLP backward (~20% of its MXU work).
+    Stashing pre (bf16, [S, 4K]) from the forward removes that dot; the
+    backward evaluates act/act' at the bf16-rounded pre, a perturbation
+    of the same order as the bf16 casts the grads undergo anyway.
+    Auto gates on memory: ON when one layer's stash stays under
+    MLP_STASH_MAX_BYTES (bs128 ViT-B: 155 MB/layer, 1.9 GB for the
+    12-layer tower; bs512's 620 MB/layer stays with the recompute —
+    with the attention stash it would not fit 16 GB HBM)."""
+    env = os.environ.get("UML_MLP_STASH", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return bsz * s * m * itemsize <= MLP_STASH_MAX_BYTES
+
+
+def _mlp_block_kernel_stash(x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                            o_ref, pre_ref, *, eps, activation, slab):
+    """_mlp_block_kernel twin that also writes the pre-activation
+    (pre = rawLN(x) @ w1 + b1, bias included) for the stash backward.
+    Used only under differentiation (custom_vjp fwd)."""
+    g, s, k = x_ref.shape
+    step = slab if g % slab == 0 else (2 if g % 2 == 0 else 1)
+    for j0 in range(0, g, step):
+        xf = x_ref[j0:j0 + step].reshape(step * s, k).astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
+        pre = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32)
+        pre = pre + b1_ref[:].astype(jnp.float32)
+        m = pre.shape[-1]
+        pre_ref[j0:j0 + step] = pre.astype(pre_ref.dtype).reshape(
+            step, s, m)
+        y = _KERNEL_ACTIVATIONS[activation](pre).astype(w2_ref.dtype)
+        out = jnp.dot(y, w2_ref[:], preferred_element_type=jnp.float32)
+        out = (xf + out + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[j0:j0 + step] = out.reshape(step, s, k)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "activation",
+                                             "interpret"))
+def _mlp_block_fwd_stash(x, w1, b1, w2, b2, eps, activation, interpret):
+    from uml_tpu.ops.fused_attention import _default_fwd_g, _group_and_params
+
+    bsz, s, k = x.shape
+    m = w1.shape[1]
+    g, cparams = _group_and_params(
+        bsz, default_g=_default_fwd_g(s),
+        need_fn=lambda g: mlp_block_vmem_bytes(
+            k, m, s, w1.dtype.itemsize, g, _mlp_slab(g, bsz, s))
+        + 2 * g * s * m * x.dtype.itemsize)
+    slab = _mlp_slab(g, bsz, s) if bsz >= 64 else 2
+    return pl.pallas_call(
+        functools.partial(_mlp_block_kernel_stash, eps=eps,
+                          activation=activation, slab=slab),
+        grid=(bsz // g,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, s, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),   # out
+            jax.ShapeDtypeStruct((bsz, s, m), x.dtype),   # pre stash
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * s * k * m,
+            bytes_accessed=((2 * s * k + s * m) * bsz * x.dtype.itemsize
+                            + 2 * w1.size * w1.dtype.itemsize),
+            transcendentals=bsz * s * m if activation else 0,
+        ),
+        interpret=interpret,
+    )(x, w1, b1, w2, b2)
+
+
+def _mlp_bwd_via_stash(x, g, pre, w1, b1, w2, b2, eps, activation):
+    """All five grads from the forward-stashed pre-activation — pure XLA
+    (the recompute dot is gone, the rest are full-rate batched matmuls
+    with fused elementwise passes).  Matches the Pallas backward's dtype
+    choices: the dots contract bf16 operands, accumulation in fp32."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn32 = (xf - mean) * rstd
+    xnb = xn32.astype(w1.dtype)
+
+    pre32 = pre.astype(jnp.float32)
+    yact = _ACTIVATIONS[activation](pre32).astype(w2.dtype)
+    dy = jax.lax.dot_general(
+        g, w2, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [B, S, M]
+    dpre = dy * _act_grad(pre32, activation)
+    dpreb = dpre.astype(w1.dtype)
+
+    dxn = jax.lax.dot_general(
+        dpreb, w1, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [B, S, K]
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
+    dx = (rstd * (dxn - m1 - xn32 * m2)
+          + g.astype(jnp.float32)).astype(x.dtype)
+
+    nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
+    dw1 = jax.lax.dot_general(xnb, dpreb, nums,
+                              preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dpre, axis=(0, 1))
+    dw2 = jax.lax.dot_general(yact, g, nums,
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    return (dx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+
+
 def _act_grad(pre, activation):
     """d act(pre) / d pre in fp32 (kernel-safe: rational erf)."""
     if activation is None:
@@ -432,12 +563,22 @@ def _mlp_block(x, w1, b1, w2, b2, eps, activation):
 
 
 def _mlp_block_vjp_fwd(x, w1, b1, w2, b2, eps, activation):
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if (on_tpu and x.ndim == 3 and activation is not None
+            and _mlp_stash_enabled(x.shape[0], x.shape[1], w1.shape[1],
+                                   x.dtype.itemsize)):
+        out, pre = _mlp_block_fwd_stash(x, w1, b1, w2, b2, eps,
+                                        activation, False)
+        return out, (x, w1, b1, w2, b2, pre)
     return (_mlp_block(x, w1, b1, w2, b2, eps, activation),
-            (x, w1, b1, w2, b2))
+            (x, w1, b1, w2, b2, None))
 
 
 def _mlp_block_vjp_bwd(eps, activation, res, g):
-    x, w1, b1, w2, b2 = res
+    x, w1, b1, w2, b2, pre = res
+    if pre is not None:
+        return _mlp_bwd_via_stash(x, g, pre, w1, b1, w2, b2, eps,
+                                  activation)
     if (jax.default_backend() not in ("cpu",)
             and os.environ.get("UML_MLP_BWD") == "dw"
             and x.ndim == 3):
