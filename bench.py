@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline target (BASELINE.json north star): 5000 img/s/chip on TPU v5e.
 
 Budget contract (round 4): the WHOLE bench fits a global wall-clock budget
-(``UML_BENCH_TOTAL_BUDGET_S``, default 1020 s) so the driver's capture
+(``UML_BENCH_TOTAL_BUDGET_S``, default 1200 s) so the driver's capture
 window always receives the JSON line — round 3's bench could exceed 40 min
 in bad relay weather (420 s health probe + unbounded core + 1900 s family
 budget with retries) and the driver killed it at timeout, capturing
@@ -115,7 +115,7 @@ PIPELINE_IMAGES = int(os.environ.get("UML_PIPELINE_IMAGES", 2048))
 FAMILY_BATCH = int(os.environ.get("UML_FAMILY_BATCH", 2048))
 SKIP_FAMILIES = os.environ.get("UML_BENCH_FAST") == "1"
 
-TOTAL_BUDGET_S = float(os.environ.get("UML_BENCH_TOTAL_BUDGET_S", 1020))
+TOTAL_BUDGET_S = float(os.environ.get("UML_BENCH_TOTAL_BUDGET_S", 1200))
 SAFETY_S = 15.0
 _START = time.time()
 
@@ -522,24 +522,30 @@ def pipeline_bench(extract_sum, variables):
              for i in range(PIPELINE_IMAGES)]
     batch_mb = PIPELINE_BATCH * 224 * 224 * 3 / 2**20
 
-    # host decode stage rate.  The first batch carries the worker-pool
-    # spin-up and prefetch ramp (only ~4 batches total at bs512), which
-    # underestimated the decode bound enough that the composed loop
-    # could exceed it (a >1.0 "vs bound" ratio is not a bound) — so the
-    # steady-state rate is timed over the post-first batches only.
-    loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
-                              prefetch=4)
-    host_batches = []
+    # host decode stage rate, measured over a DOUBLED pass with the
+    # first half as warm-up.  A single 4-batch pass is meaningless both
+    # ways: timing it whole folds in the worker-pool spin-up (the
+    # composed loop then EXCEEDS its own "bound" — a >1.0 ratio), and
+    # timing post-first-batch only races the prefetch queue (the
+    # remaining batches are already decoded, reading as millions of
+    # img/s).  Consuming 2x images and timing the second half measures
+    # the pool's saturated arrival rate — the actual decode supply
+    # ceiling the composed loop sees.
+    loader = ImageBatchLoader(items + items, "crop", PIPELINE_BATCH,
+                              num_workers=8, prefetch=4)
+    host_batches, n_seen = [], 0
     t0 = time.time()
-    warm_t = warm_n = None
+    half_t = None
     for b in loader:
-        host_batches.append(b[0].reshape(len(b[1]), -1))
-        if warm_t is None:
-            warm_t, warm_n = time.time(), len(b[1])
-    steady_n = PIPELINE_IMAGES - warm_n
-    steady_s = time.time() - warm_t
+        n_seen += len(b[1])
+        if len(host_batches) * PIPELINE_BATCH < PIPELINE_IMAGES:
+            host_batches.append(b[0].reshape(len(b[1]), -1))
+        if half_t is None and n_seen >= PIPELINE_IMAGES:
+            half_t, half_n = time.time(), n_seen
+    steady_n = n_seen - half_n
+    steady_s = time.time() - half_t
     decode_rate = (steady_n / steady_s if steady_n > 0 and steady_s > 0
-                   else PIPELINE_IMAGES / (time.time() - t0))
+                   else n_seen / (time.time() - t0))
 
     def xfer(f):
         # synced put (unsynced ones trickle and queue later transfers
@@ -845,7 +851,7 @@ def main():
     # timeout kill.  No up-front health probe: the probe runs only if
     # the child comes back empty, to distinguish a relay outage from a
     # framework regression.
-    core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 930)),
+    core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 1140)),
                        max(120.0, _remaining() - 30))
     got, status = run_child(
         {"UML_BENCH_CORE": "1", "UML_CORE_FULL": "0" if SKIP_FAMILIES
