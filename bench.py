@@ -109,7 +109,11 @@ BATCH = int(os.environ.get("UML_BENCH_BATCH", 2048))
 ITERS = int(os.environ.get("UML_BENCH_ITERS", 10))
 RUNS = int(os.environ.get("UML_BENCH_RUNS", 3))
 PIPELINE_BATCH = int(os.environ.get("UML_PIPELINE_BATCH", 512))
-PIPELINE_IMAGES = int(os.environ.get("UML_PIPELINE_IMAGES", 2048))
+# 12 batches: at 4 batches the lag-2 composed loop never reaches steady
+# state (decode ramp + pipeline fill are half the run) — v4 measured
+# blocked_decode 0.35 with an isolated decode rate 2.3x the composed
+# rate, pure fill/ramp artifact
+PIPELINE_IMAGES = int(os.environ.get("UML_PIPELINE_IMAGES", 6144))
 # extraction-service batch for the family lines: composition efficiency
 # scales with per-dispatch work, so families bench at the headline batch
 FAMILY_BATCH = int(os.environ.get("UML_FAMILY_BATCH", 2048))
@@ -533,13 +537,13 @@ def pipeline_bench(extract_sum, variables):
     # ceiling the composed loop sees.
     loader = ImageBatchLoader(items + items, "crop", PIPELINE_BATCH,
                               num_workers=8, prefetch=4)
-    host_batches, n_seen = [], 0
+    first_batch, n_seen = None, 0
     t0 = time.time()
     half_t = None
     for b in loader:
         n_seen += len(b[1])
-        if len(host_batches) * PIPELINE_BATCH < PIPELINE_IMAGES:
-            host_batches.append(b[0].reshape(len(b[1]), -1))
+        if first_batch is None:
+            first_batch = b[0].reshape(len(b[1]), -1)
         if half_t is None and n_seen >= PIPELINE_IMAGES:
             half_t, half_n = time.time(), n_seen
     steady_n = n_seen - half_n
@@ -558,7 +562,7 @@ def pipeline_bench(extract_sum, variables):
     # post-fetch H2D link cap for THIS episode (the process fetched during
     # the headline, so this measures the steady-state regime directly)
     t0 = time.time()
-    staged0 = xfer(host_batches[0])
+    staged0 = xfer(first_batch)
     transfer_b_mbps = batch_mb / (time.time() - t0)
     # compile the pipeline-shape forward
     float(extract_sum(variables, staged0))

@@ -395,3 +395,31 @@ def test_stash_backward_matches_plain_backward(causal):
     for name, a, b in zip(("dx", "dqkv", "xn"), got, base[:3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_stash_backward_interleaved_matches_sequential(monkeypatch):
+    """UML_BWD_IL on the STASH backward is math-identical to its
+    sequential trace order (same guarantee as the recompute kernel's IL
+    twin; accumulation order preserved per (pair, half) chain)."""
+    from uml_tpu.ops.fused_attention import (_block_bwd_stash_call,
+                                             _block_fwd_stash)
+
+    rng = np.random.default_rng(23)
+    heads, d = 4, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    bo = jnp.asarray(0.1 * rng.standard_normal(x.shape[-1]), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    g = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    _, qkv, _ = _block_fwd_stash(x, w_eff, b_eff, wo, bo, 1e-5, heads, d,
+                                 False, True)
+
+    base = _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, 1e-5,
+                                 heads, d, False, True)
+    monkeypatch.setenv("UML_BWD_IL", "3")
+    got = _block_bwd_stash_call.__wrapped__(x, g, qkv, w_eff, b_eff, wo,
+                                            1e-5, heads, d, False, True)
+    for name, a, b in zip(("dx", "dqkv", "xn"), got, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)

@@ -1101,6 +1101,109 @@ def _block_bwd_one_stash(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
     dx_ref[j] = (dxl + gof.astype(jnp.float32)).astype(dx_ref.dtype)
 
 
+def _block_bwd_one_stash_il(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
+                            dx_ref, dqkv_ref, xn_ref, j, *, eps, heads,
+                            head_dim, hp, ln2, scale, dot_dtype,
+                            half_masks, causal_mask=None, il=2):
+    """Stage-interleaved twin of _block_bwd_one_stash (UML_BWD_IL=N):
+    advances ``il`` (pair, half) chains stage by stage so one chain's
+    [S, S] softmax-backward VPU passes sit adjacent in program order to
+    another's MXU dots (see _block_bwd_one_il).  Math identical op for
+    op; only trace order differs."""
+    xf = x_ref[j].astype(jnp.float32)                        # [S, K]
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn32 = (xf - mean) * rstd
+    xn_ref[j] = xn32.astype(xn_ref.dtype)
+
+    qkv = qkv_ref[j]
+    gof = g_ref[j]
+    dattn = jax.lax.dot_general(
+        gof, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [S, H*D]
+
+    s = xf.shape[0]
+    npairs = heads // 2
+
+    def sl(p):
+        return slice(p * PAIR_W, (p + 1) * PAIR_W)
+
+    dq2 = [jnp.zeros((s, PAIR_W), jnp.float32) for _ in range(npairs)]
+    dk2 = [jnp.zeros((s, PAIR_W), jnp.float32) for _ in range(npairs)]
+    dv2 = [jnp.zeros((s, PAIR_W), jnp.float32) for _ in range(npairs)]
+
+    tasks = [(p, h) for h in range(2) for p in range(npairs)]
+    for t0 in range(0, len(tasks), il):
+        grp = tasks[t0:t0 + il]
+        st = []
+        for (p, h) in grp:                                   # MXU: scores
+            m = half_masks[h]
+            q2 = qkv[:, sl(p)]
+            k2 = qkv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
+            bq2 = b_ref[sl(p)].astype(jnp.float32)
+            qm = q2 * (m * scale).astype(dot_dtype) + (
+                bq2[None, :] * scale * m).astype(dot_dtype)
+            sc = jax.lax.dot_general(
+                qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [S, S]
+            st.append({"p": p, "m": m, "qm": qm, "k2": k2, "sc": sc})
+        for t in st:                                         # VPU: softmax
+            if causal_mask is not None:
+                sc = jnp.where(causal_mask, t["sc"], -1e30)
+                mx = jnp.max(sc, axis=-1, keepdims=True)
+                t["e"] = jnp.exp2(sc - mx)
+                t["linv"] = 1.0 / jnp.sum(t["e"], axis=-1, keepdims=True)
+            else:
+                t["e"] = jnp.exp2(jnp.minimum(t["sc"], NOMAX_CLAMP))
+                t["linv"] = 1.0 / jnp.maximum(
+                    jnp.sum(t["e"], axis=-1, keepdims=True), 1e-30)
+        for t in st:                                         # MXU: dv
+            p, m = t["p"], t["m"]
+            v2 = qkv[:, 2 * hp + p * PAIR_W: 2 * hp + (p + 1) * PAIR_W]
+            t["vm"] = v2 * m.astype(dot_dtype)
+            t["eb"] = t["e"].astype(dot_dtype)
+            t["dO"] = dattn[:, sl(p)] * m
+            dOl = (t["dO"] * t["linv"]).astype(dot_dtype)
+            dv2[p] = dv2[p] + jax.lax.dot_general(
+                t["eb"], dOl, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * m
+        for t in st:                                         # MXU: dP
+            t["dP"] = jax.lax.dot_general(
+                t["dO"].astype(dot_dtype), t["vm"],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [S, S]
+        for t in st:                                         # VPU: dsc
+            e, linv = t["e"], t["linv"]
+            rd = jnp.sum(e * t["dP"], axis=-1, keepdims=True) * linv
+            dsc = (e * (t["dP"] - rd)) * (ln2 * linv)
+            if causal_mask is None:
+                dsc = jnp.where(t["sc"] < NOMAX_CLAMP, dsc, 0.0)
+            t["dsc"] = dsc.astype(dot_dtype)
+        for t in st:                                         # MXU: dq, dk
+            p, m = t["p"], t["m"]
+            dq2[p] = dq2[p] + jnp.dot(
+                t["dsc"], t["k2"],
+                preferred_element_type=jnp.float32) * (m * scale)
+            dk2[p] = dk2[p] + jax.lax.dot_general(
+                t["dsc"], t["qm"], dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    dqkvb = jnp.concatenate(
+        [c[q].astype(dot_dtype) for q in range(3)
+         for c in zip(dq2, dk2, dv2)], axis=-1)
+    dqkv_ref[j] = dqkvb.astype(dqkv_ref.dtype)
+    dxn = jax.lax.dot_general(
+        dqkvb, w_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
+    dxl = rstd * (dxn - m1 - xn32 * m2)
+    dx_ref[j] = (dxl + gof.astype(jnp.float32)).astype(dx_ref.dtype)
+
+
 def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
                             dx_ref, dqkv_ref, xn_ref, *,
                             eps, heads, head_dim, causal):
@@ -1119,9 +1222,11 @@ def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         causal_mask = cols <= rows
+    il = int(os.environ.get("UML_BWD_IL", "0"))
+    one = (functools.partial(_block_bwd_one_stash_il, il=il) if il > 1
+           else _block_bwd_one_stash)
     for j in range(x_ref.shape[0]):
-        _block_bwd_one_stash(
-            x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
+        one(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref, dx_ref, dqkv_ref,
             xn_ref, j, eps=eps, heads=heads, head_dim=head_dim, hp=hp,
             ln2=ln2, scale=scale, dot_dtype=dot_dtype,
             half_masks=half_masks, causal_mask=causal_mask)
