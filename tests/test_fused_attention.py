@@ -423,3 +423,36 @@ def test_stash_backward_interleaved_matches_sequential(monkeypatch):
     for name, a, b in zip(("dx", "dqkv", "xn"), got, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_cls_backward_kernel_matches_zero_pad_path():
+    """The dedicated CLS backward == the zero-pad full backward's grads
+    (which in turn match jax.vjp of the sliced reference): the dropped
+    rows were exact zeros, so tolerances are tight."""
+    from uml_tpu.ops.fused_attention import (CLS_ROWS, _block_bwd_call,
+                                             _block_bwd_cls_call)
+
+    rng = np.random.default_rng(24)
+    heads, d = 4, 64
+    x, scale, bias, kernel, kbias = _setup(rng, s=33, heads=heads, d=d)
+    wo = jnp.asarray(rng.standard_normal((heads * d, x.shape[-1]))
+                     / np.sqrt(heads * d), jnp.float32)
+    w_eff, b_eff = fold_ln_into_matmul(scale, bias, kernel, kbias)
+    g8 = jnp.asarray(rng.standard_normal(
+        (x.shape[0], CLS_ROWS, x.shape[2])), jnp.float32)
+
+    g_full = jnp.zeros(x.shape, g8.dtype).at[:, :CLS_ROWS].set(g8)
+    dx_w, dqkv_w, xn_w, attn_w = _block_bwd_call(
+        x, g_full, w_eff, b_eff, wo, 1e-5, heads, d, False, True)
+    dx, dqkv, xn, attn8 = _block_bwd_cls_call(
+        x, g8, w_eff, b_eff, wo, 1e-5, heads, d, True)
+
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_w),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(dqkv_w),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(xn_w),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(attn8),
+                               np.asarray(attn_w)[:, :CLS_ROWS],
+                               atol=1e-5, rtol=1e-5)

@@ -1286,6 +1286,192 @@ def _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, eps, heads,
     return dx, dqkv, xn
 
 
+def _block_bwd_cls_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
+                          dx_ref, dqkv_ref, xn_ref, attn_ref, *,
+                          eps, heads, head_dim):
+    """Backward of the CLS-only attention half-block without the
+    zero-pad detour: the cotangent has CLS_ROWS live rows, so the score/
+    softmax-backward tensors are [CLS_ROWS, S] instead of [S, S], the
+    full-q recompute collapses to CLS_ROWS rows, and the fwd-out/dv/dk
+    contractions contract over CLS_ROWS.  The zero-pad path computed
+    exact zeros for everything beyond row CLS_ROWS (dO rows zero =>
+    dsc/dq rows zero), so dropping them is bit-exact — per image the MXU
+    work falls from the full layer backward's ~1171M MACs to ~500M (kv
+    recompute + dxn dominate; every [S, S]-class dot is gone).
+
+    dqkv keeps the full [S, 3*H*D] layout with the q section zero beyond
+    row CLS_ROWS, so the XLA dW contractions are unchanged."""
+    hp = heads * head_dim
+    log2e = 1.4426950408889634
+    ln2 = 0.6931471805599453
+    scale = head_dim ** -0.5 * log2e
+    dot_dtype = w_ref.dtype
+    r = g_ref.shape[1]                                       # CLS_ROWS
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, PAIR_W), 1)
+    half_masks = ((lane < head_dim).astype(jnp.float32),
+                  (lane >= head_dim).astype(jnp.float32))
+    w_q = w_ref[:, :hp]
+    w_kv = w_ref[:, hp:]
+    for j in range(x_ref.shape[0]):
+        xf = x_ref[j].astype(jnp.float32)                    # [S, K]
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        xn32 = (xf - mean) * rstd
+        xnb = xn32.astype(dot_dtype)
+        xn_ref[j] = xnb.astype(xn_ref.dtype)
+
+        kv = jnp.dot(xnb, w_kv,
+                     preferred_element_type=jnp.float32).astype(dot_dtype)
+        q8 = jnp.dot(xnb[:r], w_q,
+                     preferred_element_type=jnp.float32).astype(dot_dtype)
+
+        g8 = g_ref[j]                                        # [r, K]
+        dattn8 = jax.lax.dot_general(
+            g8, wo_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [r, H*D]
+
+        s = xf.shape[0]
+        dq_cols, dk_cols, dv_cols = [], [], []
+        for p in range(heads // 2):
+            q2 = q8[:, p * PAIR_W:(p + 1) * PAIR_W]
+            k2 = kv[:, p * PAIR_W:(p + 1) * PAIR_W]
+            v2 = kv[:, hp + p * PAIR_W: hp + (p + 1) * PAIR_W]
+            bq2 = b_ref[p * PAIR_W:(p + 1) * PAIR_W].astype(jnp.float32)
+            bv2 = b_ref[2 * hp + p * PAIR_W:
+                        2 * hp + (p + 1) * PAIR_W].astype(jnp.float32)
+            d_pair = dattn8[:, p * PAIR_W:(p + 1) * PAIR_W]
+            dq2 = jnp.zeros((r, PAIR_W), jnp.float32)
+            dk2 = jnp.zeros((s, PAIR_W), jnp.float32)
+            dv2 = jnp.zeros((s, PAIR_W), jnp.float32)
+            attn_pair = jnp.zeros((r, PAIR_W), jnp.float32)
+            for m in half_masks:
+                ms = (m * scale).astype(dot_dtype)
+                qm = q2 * ms + (bq2[None, :] * scale * m).astype(dot_dtype)
+                sc = jax.lax.dot_general(
+                    qm, k2, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [r, S]
+                e = jnp.exp2(jnp.minimum(sc, NOMAX_CLAMP))
+                linv = 1.0 / jnp.maximum(
+                    jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+                eb = e.astype(dot_dtype)
+                vm = v2 * m.astype(dot_dtype)
+                o = jnp.dot(eb, vm, preferred_element_type=jnp.float32)
+                attn_pair = attn_pair + o * linv
+                dO = d_pair * m                              # [r, PAIR_W]
+                dOl = (dO * linv).astype(dot_dtype)
+                dv2 = dv2 + jax.lax.dot_general(
+                    eb, dOl, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) * m
+                dP = jax.lax.dot_general(
+                    dO.astype(dot_dtype), vm,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [r, S]
+                rd = jnp.sum(e * dP, axis=-1, keepdims=True) * linv
+                dsc = (e * (dP - rd)) * (ln2 * linv)
+                dsc = jnp.where(sc < NOMAX_CLAMP, dsc, 0.0)
+                dsc = dsc.astype(dot_dtype)
+                dq2 = dq2 + jnp.dot(dsc, k2,
+                                    preferred_element_type=jnp.float32) * (
+                    m * scale)
+                dk2 = dk2 + jax.lax.dot_general(
+                    dsc, qm,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # [S, PAIR_W]
+            attn_pair = attn_pair + bv2[None, :]
+            attn_ref[j, :, p * PAIR_W:(p + 1) * PAIR_W] = attn_pair.astype(
+                attn_ref.dtype)
+            dq_cols.append(dq2.astype(dot_dtype))
+            dk_cols.append(dk2.astype(dot_dtype))
+            dv_cols.append(dv2.astype(dot_dtype))
+
+        dq8b = jnp.concatenate(dq_cols, axis=-1)             # [r, H*D]
+        dkvb = jnp.concatenate(dk_cols + dv_cols, axis=-1)   # [S, 2*H*D]
+        dqkv_ref[j, :, :hp] = jnp.concatenate(
+            [dq8b, jnp.zeros((s - r, hp), dot_dtype)],
+            axis=0).astype(dqkv_ref.dtype)
+        dqkv_ref[j, :, hp:] = dkvb.astype(dqkv_ref.dtype)
+
+        # dxn splits: the kv sections over all rows, the q section's
+        # live CLS_ROWS only — the padded rows are exact zeros
+        dxn = jax.lax.dot_general(
+            dkvb, w_kv, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [S, K]
+        dxn_q8 = jax.lax.dot_general(
+            dq8b, w_q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [r, K]
+        dxn = dxn.at[:r].add(dxn_q8)
+
+        m1 = jnp.mean(dxn, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
+        dxl = rstd * (dxn - m1 - xn32 * m2)
+        gf = jnp.concatenate(
+            [g8.astype(jnp.float32),
+             jnp.zeros((s - r, xf.shape[1]), jnp.float32)], axis=0)
+        dx_ref[j] = (dxl + gf).astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "eps", "heads", "head_dim", "interpret"))
+def _block_bwd_cls_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
+                        interpret):
+    bsz, s, k = x.shape
+    r = g.shape[1]
+    m3 = w_eff.shape[1]
+    hd = heads * head_dim
+    grp, cparams = _group_and_params(
+        bsz, default_g=1, env="UML_BWD_G",
+        need_fn=lambda g_: None if (g_ == 1 and _fits_default_vmem(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True))
+        else fused_block_vmem_bytes(
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True, g_)
+        + 2 * g_ * s * m3 * x.dtype.itemsize)
+    dx, dqkv, xn, attn = pl.pallas_call(
+        functools.partial(_block_bwd_cls_kernel, eps=eps, heads=heads,
+                          head_dim=head_dim),
+        grid=(bsz // grp,),
+        compiler_params=cparams,
+        in_specs=[
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, r, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m3,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, m3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, s, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((grp, r, hd), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # dx
+            jax.ShapeDtypeStruct((bsz, s, m3), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((bsz, s, k), x.dtype),    # xn
+            jax.ShapeDtypeStruct((bsz, r, hd), x.dtype),   # attn (CLS rows)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * bsz * s * k * (m3 - hd) + 4 * bsz * r * k * hd
+                   + 2 * bsz * s * hd * k
+                   + 10 * bsz * heads * r * s * head_dim),
+            bytes_accessed=((3 * bsz * s * k + bsz * s * m3)
+                            * x.dtype.itemsize
+                            + (w_eff.size + wo.size) * w_eff.dtype.itemsize),
+            transcendentals=bsz * heads * r * s,
+        ),
+        interpret=interpret,
+    )(x, g, w_eff, b_eff, wo)
+    return dx, dqkv, xn, attn
+
+
 @functools.partial(jax.jit, static_argnames=(
     "eps", "heads", "head_dim", "causal", "interpret"))
 def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
@@ -1421,11 +1607,26 @@ def _fused_block_cls_fwd(x, w_eff, b_eff, wo, bo, heads, head_dim, eps):
 def _fused_block_cls_bwd(heads, head_dim, eps, res, g):
     x, w_eff, b_eff, wo, bo = res
     on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and os.environ.get("UML_CLS_BWD", "cls") == "cls":
+        # dedicated CLS backward: the cotangent has CLS_ROWS live rows,
+        # so every [S, S]-class dot and the full-q recompute collapse to
+        # CLS_ROWS — bit-exact vs the zero-pad path (which produced
+        # exact zeros for the dropped work) at ~2.3x less MXU work
+        dx, dqkv, xn, attn = _block_bwd_cls_call(
+            x, g, w_eff, b_eff, wo, eps, heads, head_dim, False)
+        nums = (((0, 1), (0, 1)), ((), ()))
+        dw_eff = jax.lax.dot_general(xn, dqkv, nums,
+                                     preferred_element_type=jnp.float32)
+        db_eff = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+        dwo = jax.lax.dot_general(attn, g, nums,
+                                  preferred_element_type=jnp.float32)
+        dbo = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+        return (dx, dw_eff.astype(w_eff.dtype), db_eff.astype(b_eff.dtype),
+                dwo.astype(wo.dtype), dbo.astype(bo.dtype))
     if on_tpu:
-        # the vjp of a row slice is a zero-pad of the cotangent, so the
-        # full-block Pallas backward serves the CLS block too — without
-        # this, the final layer's backward would pay the unfused jnp-twin
-        # cost every training step
+        # zero-pad fallback (UML_CLS_BWD=pad): the vjp of a row slice is
+        # a zero-pad of the cotangent, so the full-block Pallas backward
+        # serves the CLS block too
         g_full = jnp.zeros(x.shape, g.dtype).at[:, :CLS_ROWS].set(g)
         return _bwd_via_kernel(x, g_full, w_eff, b_eff, wo, bo, heads,
                                head_dim, eps)
