@@ -472,6 +472,17 @@ def _measure_family(key, staged_imgs=None):
     except Exception as e:  # pragma: no cover - device-path only
         print(f"family: {key} failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    finally:
+        # free this tower's weights eagerly: a survey child measures up
+        # to 7 towers (incl. two full CLIPs for the text lines) in one
+        # process, and lazy GC let their HBM buffers pile up into a
+        # RESOURCE_EXHAUSTED on the conv tower (v5 run)
+        import gc
+
+        # rebinding the locals drops this call's references; the reused
+        # staged_imgs stays alive at the caller
+        model = variables = extract = imgs = None  # noqa: F841
+        gc.collect()
 
 
 def run_families_child(keys):
@@ -734,7 +745,7 @@ def run_child(extra_env, timeout_s):
         status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
         stdout = r.stdout
         if r.stderr:
-            sys.stderr.write(r.stderr[-2000:])
+            sys.stderr.write(r.stderr[-6000:])
     except subprocess.TimeoutExpired as e:
         status = "timeout"
         stdout = e.stdout

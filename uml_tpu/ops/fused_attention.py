@@ -1395,14 +1395,15 @@ def _block_bwd_cls_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
         dqkv_ref[j, :, hp:] = dkvb.astype(dqkv_ref.dtype)
 
         # dxn splits: the kv sections over all rows, the q section's
-        # live CLS_ROWS only — the padded rows are exact zeros
-        dxn = jax.lax.dot_general(
+        # live CLS_ROWS only — the padded rows are exact zeros.  The
+        # row-slice add is a concat (Mosaic has no scatter-add).
+        dxn_kv = jax.lax.dot_general(
             dkvb, w_kv, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # [S, K]
         dxn_q8 = jax.lax.dot_general(
             dq8b, w_q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # [r, K]
-        dxn = dxn.at[:r].add(dxn_q8)
+        dxn = jnp.concatenate([dxn_kv[:r] + dxn_q8, dxn_kv[r:]], axis=0)
 
         m1 = jnp.mean(dxn, axis=-1, keepdims=True)
         m2 = jnp.mean(dxn * xn32, axis=-1, keepdims=True)
