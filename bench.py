@@ -537,17 +537,17 @@ def pipeline_bench(extract_sum, variables):
              for i in range(PIPELINE_IMAGES)]
     batch_mb = PIPELINE_BATCH * 224 * 224 * 3 / 2**20
 
-    # host decode stage rate, measured over a DOUBLED pass with the
-    # first half as warm-up.  A single 4-batch pass is meaningless both
-    # ways: timing it whole folds in the worker-pool spin-up (the
+    # host decode stage rate, measured past a 2-batch warm-up prefix.
+    # Timing a short pass whole folds in the worker-pool spin-up (the
     # composed loop then EXCEEDS its own "bound" — a >1.0 ratio), and
     # timing post-first-batch only races the prefetch queue (the
     # remaining batches are already decoded, reading as millions of
-    # img/s).  Consuming 2x images and timing the second half measures
-    # the pool's saturated arrival rate — the actual decode supply
-    # ceiling the composed loop sees.
-    loader = ImageBatchLoader(items + items, "crop", PIPELINE_BATCH,
-                              num_workers=8, prefetch=4)
+    # img/s).  Timing the post-warm-up batches of a longer streaming
+    # pass measures the pool's saturated arrival rate — the actual
+    # decode supply ceiling the composed loop sees.
+    warm = items[:2 * PIPELINE_BATCH]
+    loader = ImageBatchLoader(warm + items, "crop", PIPELINE_BATCH,
+                              num_workers=12, prefetch=8)
     first_batch, n_seen = None, 0
     t0 = time.time()
     half_t = None
@@ -555,7 +555,7 @@ def pipeline_bench(extract_sum, variables):
         n_seen += len(b[1])
         if first_batch is None:
             first_batch = b[0].reshape(len(b[1]), -1)
-        if half_t is None and n_seen >= PIPELINE_IMAGES:
+        if half_t is None and n_seen >= len(warm):
             half_t, half_n = time.time(), n_seen
     steady_n = n_seen - half_n
     steady_s = time.time() - half_t
@@ -583,8 +583,8 @@ def pipeline_bench(extract_sum, variables):
     # self-attributes its wall-clock: time blocked on the transfer
     # future (link-bound), on the per-batch feature fetch, and on the
     # decode iterator — whatever remains is dispatch + true overlap.
-    loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=8,
-                              prefetch=4)
+    loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=12,
+                              prefetch=8)
     t_wait = t_fetch = t_decode = 0.0
     with ThreadPoolExecutor(max_workers=1) as pool:
         t0 = time.time()
