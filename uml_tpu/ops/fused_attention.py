@@ -1222,7 +1222,12 @@ def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         causal_mask = cols <= rows
-    il = int(os.environ.get("UML_BWD_IL", "0"))
+    # IL=3 default for the stash backward: on the REAL bs128 train step
+    # it reads 1301.9/1300.2 img/s vs 1285.2/1302.0 at IL=0
+    # (tools/exp_train_il.py, alternated same-window), and the tower
+    # A/Bs were directionally positive in every window (103.94 ms vs
+    # 104.6-106.0 at bs128; neutral at bs512) — weak but consistent.
+    il = int(os.environ.get("UML_BWD_IL", "3"))
     one = (functools.partial(_block_bwd_one_stash_il, il=il) if il > 1
            else _block_bwd_one_stash)
     for j in range(x_ref.shape[0]):
