@@ -731,37 +731,70 @@ def _parse_stream(text):
     return out
 
 
-def run_child(extra_env, timeout_s):
+def run_child(extra_env, timeout_s, first_light_s=None):
     """Launch this file as a child with ``extra_env``; return
     (merged_metrics, status).  A timeout kill still yields whatever
-    metric lines the child streamed before dying."""
+    metric lines the child streamed before dying.
+
+    ``first_light_s``: the relay has documented stall episodes where a
+    fresh process's FIRST dispatch hangs 15+ min even on warm-cache
+    programs (one such episode consumed a whole 1140 s core window).
+    Stalls are per-process — a fresh process usually gets a fresh
+    handshake — so if the child streams NO metric line within this
+    window (the bf16 headline normally lands by ~330 s: ~230 s
+    handshake + init + measure), it is killed with status
+    ``no-first-light`` and the parent relaunches once."""
+    import threading
+
     env = {**os.environ, **extra_env}
     name = extra_env.get("UML_BENCH_FAMILY") or next(iter(extra_env))
     t0 = time.time()
     try:
-        r = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=timeout_s)
-        status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
-        stdout = r.stdout
-        if r.stderr:
-            sys.stderr.write(r.stderr[-6000:])
-    except subprocess.TimeoutExpired as e:
-        status = "timeout"
-        stdout = e.stdout
-        if isinstance(stdout, bytes):
-            stdout = stdout.decode(errors="replace")
-        stderr = e.stderr
-        if isinstance(stderr, bytes):
-            stderr = stderr.decode(errors="replace")
-        if stderr:  # the stage marks say where the budget went
-            sys.stderr.write(stderr[-3000:])
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
     except Exception as e:  # pragma: no cover
         return {}, f"error: {type(e).__name__}: {e}"
+    out_lines, err_parts = [], []
+    got_line = threading.Event()
+
+    def _read_out():
+        for ln in proc.stdout:
+            out_lines.append(ln)
+            if ln.lstrip().startswith("{"):
+                got_line.set()
+
+    def _read_err():
+        err_parts.append(proc.stderr.read())
+
+    to = threading.Thread(target=_read_out, daemon=True)
+    te = threading.Thread(target=_read_err, daemon=True)
+    to.start()
+    te.start()
+    status = None
+    while status is None:
+        if proc.poll() is not None:
+            status = "ok" if proc.returncode == 0 else f"rc={proc.returncode}"
+        elif (first_light_s is not None and not got_line.is_set()
+                and time.time() - t0 > first_light_s):
+            proc.kill()
+            status = "no-first-light"
+        elif time.time() - t0 > timeout_s:
+            proc.kill()
+            status = "timeout"
+        else:
+            time.sleep(0.5)
+    proc.wait()
+    to.join(timeout=3)
+    te.join(timeout=3)
+    stderr = "".join(err_parts)
+    if stderr:  # the stage marks say where the budget went
+        sys.stderr.write(stderr[-6000:])
     print(f"bench: child {name} {status} in {time.time() - t0:.0f}s "
           f"(timeout {timeout_s:.0f}s, total elapsed "
           f"{time.time() - _START:.0f}s)", file=sys.stderr)
-    return _parse_stream(stdout), status
+    return _parse_stream("".join(out_lines)), status
 
 
 def probe_relay():
@@ -866,13 +899,23 @@ def main():
     # timeout kill.  No up-front health probe: the probe runs only if
     # the child comes back empty, to distinguish a relay outage from a
     # framework regression.
+    first_light = float(os.environ.get("UML_FIRST_LIGHT_S", 480))
     core_timeout = min(float(os.environ.get("UML_CORE_TIMEOUT_S", 1140)),
                        max(120.0, _remaining() - 30))
     got, status = run_child(
         {"UML_BENCH_CORE": "1", "UML_CORE_FULL": "0" if SKIP_FAMILIES
          else "1", "UML_CORE_BUDGET_S": str(core_timeout - 5)},
-        core_timeout)
+        core_timeout, first_light_s=first_light)
     metrics.update(got)
+    if status == "no-first-light" and _remaining() > 300:
+        # per-process relay stall: a fresh process usually gets a fresh
+        # handshake — relaunch the full child into the remaining budget
+        retry_timeout = _remaining() - 20
+        got, status = run_child(
+            {"UML_BENCH_CORE": "1", "UML_CORE_FULL": "0" if SKIP_FAMILIES
+             else "1", "UML_CORE_BUDGET_S": str(retry_timeout - 5)},
+            retry_timeout)
+        metrics.update(got)
     if not metrics:
         if not probe_relay():
             print(json.dumps({

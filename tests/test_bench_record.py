@@ -99,22 +99,42 @@ def test_parse_stream_handles_none_and_empty():
     assert bench._parse_stream("") == {}
 
 
-class _FakeCompleted:
-    def __init__(self, rc, stdout, stderr=""):
-        self.returncode, self.stdout, self.stderr = rc, stdout, stderr
+import io
+
+
+class _FakePopen:
+    """Stands in for subprocess.Popen in run_child: emits the planned
+    stdout instantly and exits 0 (or never exits, for stall tests)."""
+
+    def __init__(self, stdout_text, rc=0, hang=False):
+        self.stdout = io.StringIO(stdout_text)
+        self.stderr = io.StringIO("")
+        self.returncode = rc
+        self._hang = hang
+        self.killed = False
+
+    def poll(self):
+        return None if (self._hang and not self.killed) else self.returncode
+
+    def kill(self):
+        self.killed = True
+        self.returncode = -9
+
+    def wait(self):
+        return self.returncode
 
 
 def _patch_children(monkeypatch, outcomes, calls):
     """outcomes: group-key-string -> list of per-attempt stdouts; records
     the attempt order (the UML_BENCH_FAMILY env value) in ``calls``."""
-    def fake_run(cmd, env=None, **kw):
+    def fake_popen(cmd, env=None, **kw):
         key = env["UML_BENCH_FAMILY"]
         calls.append(key)
         plan = outcomes.get(key, ["{}"])
         step = plan.pop(0) if len(plan) > 1 else plan[0]
-        return _FakeCompleted(0, step)
+        return _FakePopen(step)
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
 
 
 def test_family_followup_runs_missing_keys(monkeypatch):
@@ -167,3 +187,31 @@ def test_family_lines_pass_through():
     rec = _record(dict(fams))
     for k, v in fams.items():
         assert rec[k] == v
+
+
+def test_run_child_no_first_light_kills_and_reports(monkeypatch):
+    """A child that streams nothing past the first-light window is
+    killed with status no-first-light (the per-process relay stall) —
+    the parent can then relaunch into a fresh process."""
+    from tests.test_bench_record import _FakePopen  # self-import ok
+
+    hung = _FakePopen("", hang=True)
+    monkeypatch.setattr(subprocess, "Popen", lambda *a, **kw: hung)
+    metrics, status = bench.run_child({"UML_BENCH_CORE": "1"},
+                                      timeout_s=30.0, first_light_s=0.6)
+    assert status == "no-first-light"
+    assert hung.killed
+    assert metrics == {}
+
+
+def test_run_child_streamed_lines_survive_ok_exit(monkeypatch):
+    out = ('{"extract_bf16_img_per_s": 5016.5}\n'
+           "noise\n"
+           '{"train_full_finetune_img_per_s": 1291.9}\n')
+    monkeypatch.setattr(subprocess, "Popen",
+                        lambda *a, **kw: _FakePopen(out))
+    metrics, status = bench.run_child({"UML_BENCH_CORE": "1"},
+                                      timeout_s=30.0, first_light_s=5.0)
+    assert status == "ok"
+    assert metrics == {"extract_bf16_img_per_s": 5016.5,
+                       "train_full_finetune_img_per_s": 1291.9}
