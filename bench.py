@@ -547,7 +547,8 @@ def pipeline_bench(extract_sum, variables):
     # decode supply ceiling the composed loop sees.
     warm = items[:2 * PIPELINE_BATCH]
     loader = ImageBatchLoader(warm + items, "crop", PIPELINE_BATCH,
-                              num_workers=12, prefetch=8)
+                              num_workers=12, prefetch=8,
+                              worker_kind="process")
     first_batch, n_seen = None, 0
     t0 = time.time()
     half_t = None
@@ -584,7 +585,7 @@ def pipeline_bench(extract_sum, variables):
     # future (link-bound), on the per-batch feature fetch, and on the
     # decode iterator — whatever remains is dispatch + true overlap.
     loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=12,
-                              prefetch=8)
+                              prefetch=8, worker_kind="process")
     t_wait = t_fetch = t_decode = 0.0
     with ThreadPoolExecutor(max_workers=1) as pool:
         t0 = time.time()

@@ -88,7 +88,11 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
     import jax
 
     budget = int(os.environ.get("UML_FETCH_BUDGET_MB", "1024")) * 2**20
+    # UML_DECODE_WORKERS=process: spawn-process decode (2.1x the thread
+    # pool on GIL-contended hosts; see data/loader.py)
     loader = ImageBatchLoader(items, augmentation, batch_size,
+                              worker_kind=os.environ.get(
+                                  "UML_DECODE_WORKERS", "thread"),
                               num_workers=num_workers, seed=seed)
     decoder = "native-libjpeg" if loader._native is not None else "pil"
     enqueue = getattr(encoder, "encode_images_async", None)

@@ -1,20 +1,60 @@
-"""Host-side image batch loader with threaded decode + prefetch.
+"""Host-side image batch loader with threaded/process decode + prefetch.
 
 The throughput half of the feature-extraction pipeline (the reference uses
-torch DataLoader workers, features.py:152-161).  Here: a thread pool decodes
+torch DataLoader workers, features.py:152-161).  Here: a worker pool decodes
 JPEGs to uint8 224x224x3 (PIL's C decode releases the GIL), batches are
 assembled ahead of consumption with a bounded prefetch window, and
 normalization happens on device (uml_tpu.ops.normalize_images) so each
 batch crosses the host->device link as uint8.
+
+``worker_kind="process"`` decodes in spawned subprocesses instead of
+threads (torch DataLoader num_workers parity): measured 2.1x the thread
+pool's rate on this container (2734.5 vs 1298.6 img/s at 12 workers,
+tools/exp_pipe_gil2.py) — the GIL serializes enough of the per-image
+Python (numpy slicing, RNG, dict handling) to cap threads even though
+the decoders release it.  Spawn, never fork: JAX is multithreaded and a
+forked child can deadlock.  Default stays "thread" (no worker startup
+cost, no pickling) — extraction-scale sweeps opt in, or set
+``UML_DECODE_WORKERS=process`` for the CLIs.
 """
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
 from uml_tpu.data.transforms import load_uint8
+
+_PROC_NATIVE = None  # per-worker-process decoder cache
+
+
+def _decode_batch_items(batch_items, batch_idx, augmentation, size, seed,
+                        use_native):
+    """Decode one batch (module-level so process pools can pickle it)."""
+    native_fn = None
+    if use_native:
+        global _PROC_NATIVE
+        if _PROC_NATIVE is None:
+            from uml_tpu import native
+
+            _PROC_NATIVE = (native.fast_decode_jpeg
+                            if native.native_available() else False)
+        native_fn = _PROC_NATIVE or None
+    rng = np.random.default_rng((seed, batch_idx))
+    imgs = np.empty((len(batch_items), *size, 3), dtype=np.uint8)
+    for i, item in enumerate(batch_items):
+        if native_fn is not None:
+            try:
+                imgs[i] = native_fn(item["impath"], size[0])
+                continue
+            except RuntimeError:
+                pass  # non-JPEG or corrupt: PIL handles it below
+        imgs[i] = load_uint8(item["impath"], augmentation, size, rng)
+    labels = np.asarray([it["label"] for it in batch_items], dtype=np.int64)
+    paths = [it["impath"] for it in batch_items]
+    return imgs, labels, paths
 
 
 class ImageBatchLoader:
@@ -27,7 +67,7 @@ class ImageBatchLoader:
 
     def __init__(self, items, augmentation="crop", batch_size=256,
                  num_workers=16, prefetch=4, seed=0, size=(224, 224),
-                 fast_decode=True, start_batch=0):
+                 fast_decode=True, start_batch=0, worker_kind="thread"):
         self.items = items
         self.augmentation = augmentation
         self.batch_size = batch_size
@@ -35,6 +75,10 @@ class ImageBatchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.size = size
+        self.fast_decode = fast_decode
+        if worker_kind not in ("thread", "process"):
+            raise ValueError(f"worker_kind {worker_kind!r}: thread/process")
+        self.worker_kind = worker_kind
         # resume support: begin at this batch index (augmentation RNG is
         # seeded per (seed, absolute batch index), so skipped batches cost
         # nothing and later batches are bit-identical to a full replay)
@@ -53,20 +97,9 @@ class ImageBatchLoader:
         return (len(self.items) + self.batch_size - 1) // self.batch_size
 
     def _decode_batch(self, batch_items, batch_idx):
-        rng = np.random.default_rng((self.seed, batch_idx))
-        imgs = np.empty((len(batch_items), *self.size, 3), dtype=np.uint8)
-        for i, item in enumerate(batch_items):
-            if self._native is not None:
-                try:
-                    imgs[i] = self._native(item["impath"], self.size[0])
-                    continue
-                except RuntimeError:
-                    pass  # non-JPEG or corrupt: PIL handles it below
-            imgs[i] = load_uint8(item["impath"], self.augmentation,
-                                 self.size, rng)
-        labels = np.asarray([it["label"] for it in batch_items], dtype=np.int64)
-        paths = [it["impath"] for it in batch_items]
-        return imgs, labels, paths
+        return _decode_batch_items(batch_items, batch_idx,
+                                   self.augmentation, self.size, self.seed,
+                                   self._native is not None)
 
     def __iter__(self):
         s0 = self.start_batch
@@ -74,15 +107,33 @@ class ImageBatchLoader:
             self.items[i : i + self.batch_size]
             for i in range(0, len(self.items), self.batch_size)
         ][s0:]
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        if self.worker_kind == "process":
+            pool_cm = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"))
+
+            def submit(pool, b, idx):
+                # same native-decode gate as __init__; each worker
+                # process probes library availability itself
+                return pool.submit(_decode_batch_items, b, idx,
+                                   self.augmentation, self.size, self.seed,
+                                   self.fast_decode
+                                   and self.augmentation == "crop"
+                                   and self.size[0] == self.size[1])
+        else:
+            pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
+
+            def submit(pool, b, idx):
+                return pool.submit(self._decode_batch, b, idx)
+
+        with pool_cm as pool:
             futures = []
             for idx, b in enumerate(batches[: self.prefetch]):
-                futures.append(pool.submit(self._decode_batch, b, s0 + idx))
+                futures.append(submit(pool, b, s0 + idx))
             for idx in range(len(batches)):
                 if idx + self.prefetch < len(batches):
-                    futures.append(pool.submit(
-                        self._decode_batch, batches[idx + self.prefetch],
-                        s0 + idx + self.prefetch))
+                    futures.append(submit(pool, batches[idx + self.prefetch],
+                                          s0 + idx + self.prefetch))
                 yield futures[idx].result()
 
 
