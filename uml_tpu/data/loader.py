@@ -28,6 +28,22 @@ import numpy as np
 from uml_tpu.data.transforms import load_uint8
 
 _PROC_NATIVE = None  # per-worker-process decoder cache
+# persistent spawn pools keyed by worker count (torch DataLoader
+# persistent_workers parity): a spawned worker pays python startup +
+# package imports (~10 s with jax in the chain), so per-__iter__ pools
+# put that startup INSIDE the first consumer's measurement window —
+# the pool is created once and reused across loader instances
+# (ProcessPoolExecutor registers its own atexit join)
+_PROC_POOLS = {}
+
+
+def _proc_pool(n):
+    pool = _PROC_POOLS.get(n)
+    if pool is None:
+        pool = ProcessPoolExecutor(
+            max_workers=n, mp_context=multiprocessing.get_context("spawn"))
+        _PROC_POOLS[n] = pool
+    return pool
 
 
 def _decode_batch_items(batch_items, batch_idx, augmentation, size, seed,
@@ -108,11 +124,9 @@ class ImageBatchLoader:
             for i in range(0, len(self.items), self.batch_size)
         ][s0:]
         if self.worker_kind == "process":
-            pool_cm = ProcessPoolExecutor(
-                max_workers=self.num_workers,
-                mp_context=multiprocessing.get_context("spawn"))
+            pool = _proc_pool(self.num_workers)  # persistent, never closed
 
-            def submit(pool, b, idx):
+            def submit(b, idx):
                 # same native-decode gate as __init__; each worker
                 # process probes library availability itself
                 return pool.submit(_decode_batch_items, b, idx,
@@ -120,21 +134,24 @@ class ImageBatchLoader:
                                    self.fast_decode
                                    and self.augmentation == "crop"
                                    and self.size[0] == self.size[1])
-        else:
-            pool_cm = ThreadPoolExecutor(max_workers=self.num_workers)
 
-            def submit(pool, b, idx):
-                return pool.submit(self._decode_batch, b, idx)
+            yield from self._pump(batches, s0, submit)
+            return
 
-        with pool_cm as pool:
-            futures = []
-            for idx, b in enumerate(batches[: self.prefetch]):
-                futures.append(submit(pool, b, s0 + idx))
-            for idx in range(len(batches)):
-                if idx + self.prefetch < len(batches):
-                    futures.append(submit(pool, batches[idx + self.prefetch],
-                                          s0 + idx + self.prefetch))
-                yield futures[idx].result()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            yield from self._pump(
+                batches, s0,
+                lambda b, idx: pool.submit(self._decode_batch, b, idx))
+
+    def _pump(self, batches, s0, submit):
+        futures = []
+        for idx, b in enumerate(batches[: self.prefetch]):
+            futures.append(submit(b, s0 + idx))
+        for idx in range(len(batches)):
+            if idx + self.prefetch < len(batches):
+                futures.append(submit(batches[idx + self.prefetch],
+                                      s0 + idx + self.prefetch))
+            yield futures[idx].result()
 
 
 class RawImageStream:
