@@ -313,7 +313,7 @@ def test_default_fwd_g_measured_table():
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_block_bwd_interleaved_matches_sequential(causal, monkeypatch):
+def test_block_bwd_interleaved_matches_sequential(causal):
     """UML_BWD_IL=N (the stage-interleaved backward) is math-identical
     to the sequential trace order: same dx/dqkv/xn/attn, tight tol
     (accumulation order is preserved per (pair, half) chain)."""
@@ -329,12 +329,11 @@ def test_block_bwd_interleaved_matches_sequential(causal, monkeypatch):
         (x.shape[0], x.shape[1], x.shape[2])), jnp.float32)
 
     base = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5, heads, d,
-                           causal, True)
-    # __wrapped__ bypasses the jit cache: UML_BWD_IL is read at trace
-    # time, so the cached `base` trace must not be reused here
-    monkeypatch.setenv("UML_BWD_IL", "3")
-    got = _block_bwd_call.__wrapped__(x, g, w_eff, b_eff, wo, 1e-5,
-                                      heads, d, causal, True)
+                           causal, True, il=0)
+    # il is a static jit arg (the cache keys on it) — no __wrapped__ /
+    # env juggling needed to A/B the interleaved variant
+    got = _block_bwd_call(x, g, w_eff, b_eff, wo, 1e-5,
+                          heads, d, causal, True, il=3)
     for name, a, b in zip(("dx", "dqkv", "xn", "attn"), got, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5, err_msg=name)
@@ -397,7 +396,7 @@ def test_stash_backward_matches_plain_backward(causal):
                                    atol=1e-5, rtol=1e-5, err_msg=name)
 
 
-def test_stash_backward_interleaved_matches_sequential(monkeypatch):
+def test_stash_backward_interleaved_matches_sequential():
     """UML_BWD_IL on the STASH backward is math-identical to its
     sequential trace order (same guarantee as the recompute kernel's IL
     twin; accumulation order preserved per (pair, half) chain)."""
@@ -416,10 +415,9 @@ def test_stash_backward_interleaved_matches_sequential(monkeypatch):
                                  False, True)
 
     base = _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, 1e-5,
-                                 heads, d, False, True)
-    monkeypatch.setenv("UML_BWD_IL", "3")
-    got = _block_bwd_stash_call.__wrapped__(x, g, qkv, w_eff, b_eff, wo,
-                                            1e-5, heads, d, False, True)
+                                 heads, d, False, True, il=0)
+    got = _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo,
+                                1e-5, heads, d, False, True, il=3)
     for name, a, b in zip(("dx", "dqkv", "xn"), got, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5, err_msg=name)

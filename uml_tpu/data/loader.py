@@ -39,11 +39,26 @@ _PROC_POOLS = {}
 
 def _proc_pool(n):
     pool = _PROC_POOLS.get(n)
+    # a worker death (OOM, native-decoder segfault) permanently breaks a
+    # ProcessPoolExecutor — every later submit raises BrokenProcessPool.
+    # Detect the broken cached pool and rebuild so one bad image costs a
+    # batch, not every later extraction for the process lifetime.
+    if pool is not None and getattr(pool, "_broken", False):
+        pool.shutdown(wait=False, cancel_futures=True)
+        pool = None
+        _PROC_POOLS.pop(n, None)
     if pool is None:
         pool = ProcessPoolExecutor(
             max_workers=n, mp_context=multiprocessing.get_context("spawn"))
         _PROC_POOLS[n] = pool
     return pool
+
+
+def shutdown_proc_pools():
+    """Tear down the persistent decode pools (tests / explicit cleanup)."""
+    for pool in list(_PROC_POOLS.values()):
+        pool.shutdown(wait=False, cancel_futures=True)
+    _PROC_POOLS.clear()
 
 
 def _decode_batch_items(batch_items, batch_idx, augmentation, size, seed,

@@ -718,7 +718,7 @@ def ln_attn_block_reference(x, scale, bias, kernel, kbias, wo, bo, *,
 
 def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
                       dx_ref, dqkv_ref, xn_ref, attn_ref, *,
-                      eps, heads, head_dim, causal):
+                      eps, heads, head_dim, causal, il):
     """Hand-written backward of the attention half-block.
 
     One batch entry per program.  Recomputes LN -> qkv -> per-head-pair
@@ -770,7 +770,6 @@ def _block_bwd_kernel(x_ref, g_ref, w_ref, b_ref, wo_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         causal_mask = cols <= rows
-    il = int(os.environ.get("UML_BWD_IL", "0"))
     one = (functools.partial(_block_bwd_one_il, il=il) if il > 1
            else _block_bwd_one)
     for j in range(x_ref.shape[0]):
@@ -1206,7 +1205,7 @@ def _block_bwd_one_stash_il(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
 
 def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
                             dx_ref, dqkv_ref, xn_ref, *,
-                            eps, heads, head_dim, causal):
+                            eps, heads, head_dim, causal, il):
     hp = heads * head_dim
     log2e = 1.4426950408889634
     ln2 = 0.6931471805599453
@@ -1222,12 +1221,6 @@ def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         causal_mask = cols <= rows
-    # IL=3 default for the stash backward: on the REAL bs128 train step
-    # it reads 1301.9/1300.2 img/s vs 1285.2/1302.0 at IL=0
-    # (tools/exp_train_il.py, alternated same-window), and the tower
-    # A/Bs were directionally positive in every window (103.94 ms vs
-    # 104.6-106.0 at bs128; neutral at bs512) — weak but consistent.
-    il = int(os.environ.get("UML_BWD_IL", "3"))
     one = (functools.partial(_block_bwd_one_stash_il, il=il) if il > 1
            else _block_bwd_one_stash)
     for j in range(x_ref.shape[0]):
@@ -1238,9 +1231,17 @@ def _block_bwd_stash_kernel(x_ref, g_ref, qkv_ref, w_ref, b_ref, wo_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "eps", "heads", "head_dim", "causal", "interpret"))
+    "eps", "heads", "head_dim", "causal", "interpret", "il"))
 def _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, eps, heads,
-                          head_dim, causal, interpret):
+                          head_dim, causal, interpret, il=3):
+    # il (stage interleave depth) is a STATIC jit arg resolved by the
+    # caller (_bwd_via_kernel reads UML_BWD_IL) so the jit cache keys on
+    # it — an env read inside the traced body would silently pin the
+    # first-traced value for every later call of the same shape.
+    # IL=3 default: on the REAL bs128 train step it reads 1301.9/1300.2
+    # img/s vs 1285.2/1302.0 at IL=0 (tools/exp_train_il.py, alternated
+    # same-window), and the tower A/Bs were directionally positive in
+    # every window (103.94 ms vs 104.6-106.0 at bs128; neutral at bs512).
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
@@ -1251,7 +1252,7 @@ def _block_bwd_stash_call(x, g, qkv, w_eff, b_eff, wo, eps, heads,
         + 2 * g * s * (2 * m3 + k) * x.dtype.itemsize)
     dx, dqkv, xn = pl.pallas_call(
         functools.partial(_block_bwd_stash_kernel, eps=eps, heads=heads,
-                          head_dim=head_dim, causal=causal),
+                          head_dim=head_dim, causal=causal, il=il),
         grid=(bsz // grp,),
         compiler_params=cparams,
         in_specs=[
@@ -1479,9 +1480,10 @@ def _block_bwd_cls_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "eps", "heads", "head_dim", "causal", "interpret"))
+    "eps", "heads", "head_dim", "causal", "interpret", "il"))
 def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
-                    causal, interpret):
+                    causal, interpret, il=0):
+    # il: static jit arg resolved by the caller (see _block_bwd_stash_call)
     bsz, s, k = x.shape
     m3 = w_eff.shape[1]
     hd = heads * head_dim
@@ -1494,7 +1496,7 @@ def _block_bwd_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
         + 2 * g * s * (m3 + hd) * x.dtype.itemsize)
     dx, dqkv, xn, attn = pl.pallas_call(
         functools.partial(_block_bwd_kernel, eps=eps, heads=heads,
-                          head_dim=head_dim, causal=causal),
+                          head_dim=head_dim, causal=causal, il=il),
         grid=(bsz // grp,),
         compiler_params=cparams,
         in_specs=[
@@ -1561,12 +1563,15 @@ def _bwd_via_kernel(x, g, w_eff, b_eff, wo, bo, heads, head_dim, eps,
     ``attn`` the backward kernel skips their recompute (the qkv dot is
     ~30% of the backward's MXU work) and dwo contracts the stash."""
     if qkv is not None:
+        il = int(os.environ.get("UML_BWD_IL", "3"))
         dx, dqkv, xn = _block_bwd_stash_call(
             x, g, qkv, w_eff, b_eff, wo, eps, heads, head_dim, causal,
-            False)
+            False, il=il)
     else:
+        il = int(os.environ.get("UML_BWD_IL", "0"))
         dx, dqkv, xn, attn = _block_bwd_call(x, g, w_eff, b_eff, wo, eps,
-                                             heads, head_dim, causal, False)
+                                             heads, head_dim, causal, False,
+                                             il=il)
     nums = (((0, 1), (0, 1)), ((), ()))   # contract (batch, seq)
     dw_eff = jax.lax.dot_general(xn, dqkv, nums,
                                  preferred_element_type=jnp.float32)

@@ -471,7 +471,8 @@ def ln_attn_block_q8(x, scale, bias, kernel, kbias, wo, bo, *, heads: int,
     simulated-int8 reference (identical quantization math, so CPU runs
     and unit tests exercise the same numerics the TPU kernel computes).
     ``q8_out=False``: qkv-only variant — the out-projection stays bf16,
-    skipping the attention-output quantize (see _block_q8qkv_kernel).
+    skipping the attention-output quantize (_block_q8_kernel with
+    q8_out=False).
     """
     d = kernel.shape[1] // (3 * heads)
     if impl == "auto":
