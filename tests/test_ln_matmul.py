@@ -280,6 +280,44 @@ def test_mlp_stash_forward_and_backward_match(activation):
                                    atol=2e-4, rtol=2e-4, err_msg=name)
 
 
+def test_mlp_stash_backward_bf16_within_tolerance():
+    """Production trains in bf16, where the stashed pre-activation is
+    bf16-ROUNDED — the stash backward evaluates act/act' at the rounded
+    point, so its grads are an approximation of the exact VJP (unlike
+    the lossless fp32 case above).  Pin the approximation error: every
+    grad stays within 1% relative-to-max of the exact bf16-forward VJP
+    (documented bound; a regression in the stash rounding shows up
+    here, not just in train-loss drift)."""
+    from uml_tpu.ops.ln_matmul import (_mlp_block_fwd_stash,
+                                       _mlp_bwd_via_stash,
+                                       _raw_mlp_block_reference)
+
+    rng = np.random.default_rng(7)
+    bsz, s, k, m = 4, 24, 256, 1024
+    x = jnp.asarray(rng.standard_normal((bsz, s, k)), jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((k, m)) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(0.1 * rng.standard_normal(m), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((m, k)) * 0.05, jnp.bfloat16)
+    b2 = jnp.asarray(0.1 * rng.standard_normal(k), jnp.float32)
+
+    out, pre = _mlp_block_fwd_stash(x, w1, b1, w2, b2, 1e-5, "quick_gelu",
+                                    True)
+    assert pre.dtype == jnp.bfloat16  # the approximation under test
+
+    ref, vjp = jax.vjp(
+        lambda x, w1, b1, w2, b2: _raw_mlp_block_reference(
+            x, w1, b1, w2, b2, eps=1e-5, activation="quick_gelu"),
+        x, w1, b1, w2, b2)
+    g = jnp.asarray(rng.standard_normal(ref.shape), jnp.bfloat16)
+    want = vjp(g.astype(ref.dtype))
+    got = _mlp_bwd_via_stash(x, g, pre, w1, b1, w2, b2, 1e-5, "quick_gelu")
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), got, want):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        sc = np.abs(b).max() + 1e-9
+        err = np.abs(a - b).max() / sc
+        assert err < 1e-2, f"{name}: rel-to-max err {err:.2e}"
+
+
 def test_mlp_stash_gate_memory_aware(monkeypatch):
     """Auto gate: per-layer stash <= MLP_STASH_MAX_BYTES (bs128 ViT-B in,
     bs512 out — with the attention stash bs512 would blow 16 GB HBM);

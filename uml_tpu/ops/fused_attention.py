@@ -79,18 +79,21 @@ def fused_block_vmem_bytes(k, heads, head_dim, seq_len, itemsize=2,
 
 
 def _fits_default_vmem(k, heads, head_dim, seq_len, itemsize=2,
-                       with_proj=False):
+                       with_proj=False, extra=0):
     """Shapes that compile and run well under Mosaic's default 16 MB
     scoped limit (the round-2 empirical gate).  These get NO explicit
     vmem_limit_bytes, preserving measured behavior; larger shapes
-    (DINO-L/14, DINO-B/8) get an explicit raise instead."""
+    (DINO-L/14, DINO-B/8) get an explicit raise instead.  ``extra``:
+    additional per-program bytes a caller's kernel holds beyond the
+    forward footprint this function models (e.g. a backward's
+    double-buffered output tiles)."""
     w_bytes = k * 3 * heads * head_dim * itemsize
     if with_proj:
         w_bytes += heads * head_dim * k * itemsize
     tile_bytes = seq_len * (k * itemsize
                             + 3 * heads * head_dim * (4 + itemsize)
                             + heads * head_dim * itemsize)
-    return w_bytes + tile_bytes <= 13 * 1024 * 1024
+    return w_bytes + tile_bytes + extra <= 13 * 1024 * 1024
 
 
 def _default_fwd_g(seq_len):
@@ -1428,13 +1431,21 @@ def _block_bwd_cls_call(x, g, w_eff, b_eff, wo, eps, heads, head_dim,
     r = g.shape[1]
     m3 = w_eff.shape[1]
     hd = heads * head_dim
+    # the CLS backward holds double-buffered output tiles beyond the
+    # forward footprint _fits_default_vmem models: dx [S,K], dqkv [S,3HD],
+    # xn [S,K] and attn [r,HD] — without counting them the g_==1 fast
+    # path could admit shapes that exceed Mosaic's 16 MB scoped default
+    # (a compile-time failure on larger towers)
+    out_tile = lambda g_: 2 * g_ * (s * (2 * k + m3) + r * hd) \
+        * x.dtype.itemsize
     grp, cparams = _group_and_params(
         bsz, default_g=1, env="UML_BWD_G",
         need_fn=lambda g_: None if (g_ == 1 and _fits_default_vmem(
-            k, heads, head_dim, s, w_eff.dtype.itemsize, True))
+            k, heads, head_dim, s, w_eff.dtype.itemsize, True,
+            extra=out_tile(1)))
         else fused_block_vmem_bytes(
             k, heads, head_dim, s, w_eff.dtype.itemsize, True, g_)
-        + 2 * g_ * s * m3 * x.dtype.itemsize)
+        + out_tile(g_))
     dx, dqkv, xn, attn = pl.pallas_call(
         functools.partial(_block_bwd_cls_kernel, eps=eps, heads=heads,
                           head_dim=head_dim),
