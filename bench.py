@@ -148,6 +148,25 @@ FAMILY_SURVEY_ORDER = (
 )
 ALL_FAMILY_KEYS = ("extract_int8_vitb16_img_per_s",) + FAMILY_SURVEY_ORDER
 
+# Analytic speed-of-light per family line (img/s or sent/s on one v5e
+# chip), from `UML_ROOFLINE_MEASURE=0 python tools/roofline_families.py`
+# — same FLOP accounting as EXTRACTION_GFLOP_PER_IMG (2 flops/MAC,
+# pair-packed scores counted as executed, CLS-only final block; int8
+# rows at the MEASURED 209-TOPS Mosaic rate).  compose_record emits
+# `<key>_roofline_fraction` for every measured line so the per-family
+# criterion is machine-checkable from this JSON, not COVERAGE.md prose.
+# RN50 has no analytic row (conv profile): measured-only.
+FAMILY_SOL = {
+    "extract_bf16_img_per_s": 5778.2,
+    "extract_int8_vitb16_img_per_s": 8511.5,
+    "extract_clip_vitl14_img_per_s": 1210.4,
+    "extract_text_bf16_sent_per_s": 32267.3,
+    "extract_text_int8_sent_per_s": 48878.4,
+    "extract_dinov2_vitb14_img_per_s": 4337.3,
+    "extract_dinov2_vitl14_img_per_s": 1210.4,
+    "extract_dino_vitb8_img_per_s": 1186.2,
+}
+
 
 def _remaining():
     return TOTAL_BUDGET_S - (time.time() - _START) - SAFETY_S
@@ -876,6 +895,10 @@ def compose_record(metrics, shed=()):
                 "spec — tools/exp_int8_rate_pallas.py)"),
         })
     record.update(metrics)
+    for key, sol in FAMILY_SOL.items():
+        v = record.get(key)
+        if isinstance(v, (int, float)) and v > 0:
+            record[key + "_roofline_fraction"] = round(v / sol, 3)
     if "pipeline_img_per_s" in record:
         record["pipeline_note"] = (
             "jpeg decode->transfer->forward->fetch streaming "

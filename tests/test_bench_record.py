@@ -169,6 +169,71 @@ def test_family_followup_noop_when_nothing_missing(monkeypatch):
     assert calls == []
 
 
+def test_roofline_fractions_emitted_per_family():
+    """Every measured family line gets a machine-checkable
+    <key>_roofline_fraction against its analytic SoL (FAMILY_SOL), so
+    the per-family >=84% criterion is verifiable from the bench JSON
+    alone.  Unmeasured keys get no fraction; RN50 (no analytic row)
+    never does."""
+    rec = _record({"extract_int8_vitb16_img_per_s": 6600.0,
+                   "extract_dinov2_vitb14_img_per_s": 3650.0,
+                   "extract_text_bf16_sent_per_s": 22000.0,
+                   "extract_clip_rn50_img_per_s": 8400.0})
+    assert rec["extract_bf16_img_per_s_roofline_fraction"] == round(
+        5019.0 / bench.FAMILY_SOL["extract_bf16_img_per_s"], 3)
+    assert rec["extract_int8_vitb16_img_per_s_roofline_fraction"] == round(
+        6600.0 / 8511.5, 3)
+    assert rec["extract_dinov2_vitb14_img_per_s_roofline_fraction"] == round(
+        3650.0 / 4337.3, 3)
+    assert rec["extract_text_bf16_sent_per_s_roofline_fraction"] == round(
+        22000.0 / 32267.3, 3)
+    assert "extract_clip_rn50_img_per_s_roofline_fraction" not in rec
+    assert "extract_dino_vitb8_img_per_s_roofline_fraction" not in rec
+
+
+def test_family_sol_matches_analytic_table():
+    """FAMILY_SOL's hardcoded constants == tools/roofline_families.py's
+    analytic rows (the derivation), so the bench JSON can't silently
+    drift from the accounting."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "roofline_families",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "roofline_families.py"))
+    rf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rf)
+    key_for = {
+        ("clip", "ViT-B/16"): "extract_bf16_img_per_s",
+        ("clip_q8", "ViT-B/16"): "extract_int8_vitb16_img_per_s",
+        ("clip", "ViT-L/14"): "extract_clip_vitl14_img_per_s",
+        ("text", "ViT-B/16"): "extract_text_bf16_sent_per_s",
+        ("text_q8", "ViT-B/16"): "extract_text_int8_sent_per_s",
+        ("dino", "vit_base_patch14_dinov2.lvd142m"):
+            "extract_dinov2_vitb14_img_per_s",
+        ("dino", "vit_large_patch14_dinov2.lvd142m"):
+            "extract_dinov2_vitl14_img_per_s",
+        ("dino", "vit_base_patch8_224_dino"):
+            "extract_dino_vitb8_img_per_s",
+    }
+    seen = set()
+    for label, shape, ident in rf.families():
+        shape = dict(shape)
+        is_text = shape.pop("text", False)
+        int8 = shape.pop("int8", False)
+        if int8:
+            sol = (rf.text_int8_sol if is_text else rf.vit_int8_sol)(**shape)
+        else:
+            gf = (rf.text_gflop_per_sent if is_text
+                  else rf.vit_gflop_per_img)(**shape)
+            sol = rf.PEAK_TFS * 1e3 / gf
+        key = key_for[ident]
+        assert abs(bench.FAMILY_SOL[key] - sol) < 0.1, (key, sol)
+        seen.add(key)
+    assert seen == set(bench.FAMILY_SOL)
+
+
 def test_family_keys_cover_all_builders():
     assert sorted(bench.ALL_FAMILY_KEYS) == sorted(bench.FAMILY_BUILDERS)
     # the serving-headline candidate leads (measured right after bf16,
