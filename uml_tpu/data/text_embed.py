@@ -77,19 +77,34 @@ def load_word_vectors(path: str) -> dict:
 
 
 class WordVectorEmbedder:
-    """Static word-vector lookup; OOV words embed to zeros — the exact
-    GloVe semantics of the reference robust_test path
-    (affect get_data.py:300-347)."""
+    """Static word-vector lookup with torchtext's GloVe semantics
+    (reference robust_test path, affect get_data.py:122-155):
+    ``get_vecs_by_tokens(tokens, lower_case_backup=True)`` — a missing
+    token falls back to its lower-cased form, and a still-missing token
+    embeds to zeros (OOV->zeros).  Layout difference vs the reference's
+    ``_glove_embeddings``: sequences are truncated to the first
+    ``max_len`` words exactly like the reference, but padding goes at
+    the END (the reference zero-pads at the FRONT, then its
+    Affectdataset trims leading zeros again — our consumers carry
+    explicit length tensors instead, so the word vectors and their
+    order are identical; only the dead zero rows sit on the other
+    side).  Pinned by tests/test_text_embed.py's reference-replica A/B."""
 
     def __init__(self, vectors: dict):
         self.vectors = vectors
         self.dim = len(next(iter(vectors.values())))
 
+    def lookup(self, w) -> np.ndarray | None:
+        vec = self.vectors.get(w)
+        if vec is None:
+            vec = self.vectors.get(w.lower())
+        return vec
+
     def __call__(self, texts, max_len: int) -> np.ndarray:
         out = np.zeros((len(texts), max_len, self.dim), np.float32)
         for i, s in enumerate(texts):
             for j, w in enumerate(s.split()[:max_len]):
-                vec = self.vectors.get(w)
+                vec = self.lookup(w)
                 if vec is not None:
                     out[i, j] = vec
         return out
@@ -106,10 +121,16 @@ class HashVocabEmbedder:
     def __init__(self, clean_texts, dim: int = 300):
         import hashlib
 
+        from uml_tpu.data.robustness import _normalize_text
+
         self.dim = dim
         self.vectors = {}
         for s in clean_texts:
-            for w in s.split():
+            # vocabulary through the SAME normalization the noise model
+            # applies (lowercase, punctuation split, digit folding) —
+            # raw cased/punctuated corpora would otherwise miss their
+            # own level-0 (uncorrupted) words and read as degraded
+            for w in s.split() + _normalize_text(s):
                 if w in self.vectors:
                     continue
                 h = hashlib.blake2b(w.encode("utf-8"), digest_size=8)
