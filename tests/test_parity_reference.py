@@ -45,6 +45,19 @@ def test_multibench_forward_and_train_parity():
 def test_supervised_trajectory_parity():
     # PARITY.md §3: reference finetune.py train()/validate() vs our jitted
     # supervised loop, identical batches/init, 90 iters incl. ragged
-    # batches, grad probes, and the capture-set CKA/mkNN side loop
+    # batches, grad probes, the capture-set CKA/mkNN side loop, and the
+    # saved test_result.pth artifact (scalars + best-snapshot weights)
     out = _run("parity_supervised.py", "--iters", "90")
     assert "FAIL" not in out
+
+
+def test_supervised_early_stop_parity():
+    # the early-stopping path itself (finetune.py:262-271): with finite
+    # patience both sides must break at the SAME iteration, select the
+    # SAME best-val snapshot, and run the SAME number of evals; the
+    # trajectory rows are informational at this horizon (fp32 drift) —
+    # see tools/parity_supervised.py compare(behavioral=True)
+    out = _run("parity_supervised.py", "--iters", "400",
+               "--patience", "2", "--behavioral")
+    assert "FAIL" not in out
+    assert "Early stopping" in out  # the break actually fired

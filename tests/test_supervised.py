@@ -194,3 +194,51 @@ def test_finetune_cli_end_to_end(tmp_path):
     assert len(summary) == 1
     info = next(iter(summary.values()))
     assert info["n_seeds"] == 1 and 0.0 <= info["mean_test_acc"] <= 1.0
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not present")
+def test_reference_collect_results_ingests_our_artifacts(tmp_path):
+    """Drop-in artifact interop: the REFERENCE's own collect_results.py
+    (vision_language/collect_results.py:14-129) ingests the artifact
+    tree OUR finetune CLI writes and reproduces our best-val selection —
+    the torch-format results.pth schema, the experiments/ path scheme,
+    AND the hparam_str reconstruction of the per-combo subdir all have
+    to line up for its best_path to resolve."""
+    import importlib.util
+
+    root = str(tmp_path)
+    results, best_val, best_test = run_finetune_cli_e2e(root)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_collect_results",
+        "/root/reference/vision_language/collect_results.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    summary = ref.collect_results(
+        datasets="caltech101", seeds=1, encoders="ViT-B-32",
+        train_shots=3, init_types="zeroshot",
+        modality_types="finetune-text_hand_crafted-image_crop_-alpha_0.5",
+        experiments_dir=f"{root}/experiments")
+    assert len(summary) == 1
+    info = next(iter(summary.values()))
+    # the reference's best-val selection reproduces the CLI's own report
+    assert info["n_seeds"] == 1 and info["best_seed"] == 1
+    np.testing.assert_allclose(info["mean_val_acc"], best_val, atol=1e-8)
+    np.testing.assert_allclose(info["mean_test_acc"], best_test, atol=1e-8)
+    # its hparam_str reconstruction must resolve to OUR saved artifact
+    assert os.path.isfile(info["best_path"]), info["best_path"]
+
+    # and OUR collect_results agrees with the reference's on the same tree
+    from uml_tpu.cli.collect_results import collect_results
+    ours = collect_results(
+        datasets="caltech101", seeds=1, encoders="ViT-B-32",
+        train_shots=3, init_types="zeroshot",
+        modality_types="finetune-text_hand_crafted-image_crop_-alpha_0.5",
+        experiments_dir=f"{root}/experiments")
+    mine = next(iter(ours.values()))
+    for k in ("mean_val_acc", "std_val_acc", "mean_test_acc",
+              "std_test_acc", "n_seeds", "best_seed"):
+        np.testing.assert_allclose(mine[k], info[k], atol=1e-12, err_msg=k)

@@ -163,7 +163,7 @@ class Recorder:
             self.hist.setdefault(k, []).append(float(v))
 
 
-def run_reference(data, iters):
+def run_reference(data, iters, patience=10**6):
     _stub_offline_deps()
     sys.path.insert(0, REF_DIR)
     import torch
@@ -261,10 +261,14 @@ def run_reference(data, iters):
 
     out = train(model, image_loader, text_loader, val_loader, None, opt,
                 sched, device="cpu", max_iters=iters, alpha=ALPHA,
-                eval_freq=EVAL_FREQ, patience=10**6, logger=logger,
+                eval_freq=EVAL_FREQ, patience=patience, logger=logger,
                 capture_features_during_training=True,
                 features_pth=features_pth)
     best_loss, best_acc = validate(model, val_loader, device="cpu")
+    # exactly what setup() persists as test_result.pth (finetune.py:395-403),
+    # with the harness's val split standing in for the test loader
+    test_dict = {"test_acc": best_acc, "val_acc": out["val_acc"],
+                 "model": out["model"], "iter": out["iter"]}
     return {
         "hist": logger.hist,
         "state0": state0,
@@ -275,6 +279,7 @@ def run_reference(data, iters):
         "best": {"iter": out["iter"], "val_acc": out["val_acc"],
                  "val_loss": out["val_loss"],
                  "final_val_acc": best_acc, "final_val_loss": best_loss},
+        "test_dict": test_dict,
     }
 
 
@@ -315,7 +320,7 @@ class Replay:
             yield x, y, w
 
 
-def run_ours(ref, data, iters):
+def run_ours(ref, data, iters, patience=10**6):
     import jax.numpy as jnp
 
     from uml_tpu.models.uml_head import UMLHead
@@ -337,7 +342,7 @@ def run_ours(ref, data, iters):
                 Replay(ref["img_batches"]), Replay(ref["txt_batches"]),
                 eval_batches(*data["val"], BS),
                 optimizer=optimizer, max_iters=iters, alpha=ALPHA,
-                eval_freq=EVAL_FREQ, patience=10**6, logger=logger,
+                eval_freq=EVAL_FREQ, patience=patience, logger=logger,
                 capture={"image_feats": data["cap_img"],
                          "text_feats": data["cap_txt"],
                          "image_labels": data["cap_lab"]},
@@ -347,10 +352,21 @@ def run_ours(ref, data, iters):
             out["final_params"], eval_batches(*data["val"], BS))
     return {"hist": logger.hist,
             "best": {"iter": out["iter"], "val_acc": out["val_acc"],
-                     "val_loss": out["val_loss"], "final_val_acc": final_acc}}
+                     "val_loss": out["val_loss"], "final_val_acc": final_acc},
+            "test_dict": {"test_acc": final_acc, "val_acc": out["val_acc"],
+                          "model": out["model"], "iter": out["iter"]}}
 
 
-def compare(ref, ours, iters):
+def compare(ref, ours, iters, behavioral=False):
+    """behavioral=True: long-horizon mode.  fp32 drift between two
+    different-but-equivalent implementations grows with step count, so
+    past ~200 iters the per-iteration trajectory tolerances (calibrated
+    at 90) stop being meaningful.  What stays provable at ANY horizon is
+    the behavioral contract of finetune.py:247-271 — identical early-stop
+    iteration, identical best-val snapshot selection, identical eval
+    count, equal saved-artifact scalars, weights within a loose bound —
+    so trajectory rows become informational and only those are asserted
+    (weight tol widens 5e-4 -> 5e-3, best val_loss 2e-4 -> 2e-3)."""
     report = {}
     checks = [
         # per-iteration training trajectory (finetune.py:186-206)
@@ -382,16 +398,49 @@ def compare(ref, ours, iters):
             "n": n, "ref_first": float(a[0]), "ours_first": float(b[0]),
             "ref_last": float(a[-1]), "ours_last": float(b[-1]),
             "max_err": float(err.max()), "tol": tol, "kind": kind,
-            "ok": bool(err.max() <= tol),
+            "ok": None if behavioral else bool(err.max() <= tol),
         }
     rb, ob = ref["best"], ours["best"]
+    loss_tol = 2e-3 if behavioral else 2e-4
     report["best"] = {
         "ref": {k: float(v) for k, v in rb.items()},
         "ours": {k: float(v) for k, v in ob.items()},
         "ok": bool(rb["iter"] == ob["iter"]
                    and abs(rb["val_acc"] - ob["val_acc"]) < 1e-6
                    and abs(rb["final_val_acc"] - ob["final_val_acc"]) < 1e-6
-                   and abs(rb["val_loss"] - ob["val_loss"]) < 2e-4),
+                   and abs(rb["val_loss"] - ob["val_loss"]) < loss_tol),
+    }
+    # saved-artifact parity: the dict each side persists as
+    # test_result.pth (finetune.py:395-403 {test_acc, val_acc, model,
+    # iter}) — scalars equal AND the best-snapshot WEIGHTS themselves
+    # (reference state_dict ported into our tree layout) within rel tol
+    rt, ot = ref["test_dict"], ours["test_dict"]
+    ref_params = port_state(rt["model"])
+    werr = 0.0
+    import jax
+
+    for rp, op in zip(jax.tree.leaves(ref_params),
+                      jax.tree.leaves(ot["model"])):
+        rp, op = np.asarray(rp, np.float64), np.asarray(op, np.float64)
+        werr = max(werr, float(
+            np.abs(rp - op).max() / (np.abs(rp).max() + 1e-12)))
+    wtol = 5e-3 if behavioral else 5e-4
+    report["artifact"] = {
+        "ref": {k: float(v) for k, v in rt.items() if k != "model"},
+        "ours": {k: float(v) for k, v in ot.items() if k != "model"},
+        "max_weight_rel_err": werr, "tol": wtol, "kind": "weights",
+        "ok": bool(rt["iter"] == ot["iter"]
+                   and abs(rt["val_acc"] - ot["val_acc"]) < 1e-6
+                   and abs(rt["test_acc"] - ot["test_acc"]) < 1e-6
+                   and werr <= wtol),
+    }
+    # with finite patience both sides must run the SAME number of evals
+    # (identical early-stop point)
+    report["eval_count"] = {
+        "ref": len(ref["hist"]["val/val_acc"]),
+        "ours": len(ours["hist"]["val/val_acc"]),
+        "ok": (len(ref["hist"]["val/val_acc"])
+               == len(ours["hist"]["val/val_acc"])),
     }
     return report
 
@@ -399,28 +448,49 @@ def compare(ref, ours, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=90)
+    ap.add_argument("--patience", type=int, default=10**6,
+                    help="early-stop patience (evals without improvement); "
+                         "finite values exercise the early-stopping path "
+                         "on both sides (finetune.py:262-271)")
+    ap.add_argument("--behavioral", action="store_true",
+                    help="assert only the horizon-stable behavioral "
+                         "contract (early-stop point, best-val selection, "
+                         "eval count, artifact); trajectory rows become "
+                         "informational — see compare()")
     ap.add_argument("--json", type=str, default="")
     args = ap.parse_args()
 
     data = make_data()
-    ref = run_reference(data, args.iters)
-    ours = run_ours(ref, data, args.iters)
-    report = compare(ref, ours, args.iters)
+    ref = run_reference(data, args.iters, args.patience)
+    ours = run_ours(ref, data, args.iters, args.patience)
+    report = compare(ref, ours, args.iters, behavioral=args.behavioral)
     for k, v in report.items():
+        if k == "artifact":
+            print(f"{'artifact':26s} ref iter {v['ref']['iter']:.0f} "
+                  f"test {v['ref']['test_acc']:.4f} | ours iter "
+                  f"{v['ours']['iter']:.0f} test {v['ours']['test_acc']:.4f}"
+                  f" | max weight rel err {v['max_weight_rel_err']:.2e} "
+                  f"{'OK' if v['ok'] else 'FAIL'}")
+            continue
+        if k == "eval_count":
+            print(f"{'eval_count':26s} ref {v['ref']} | ours {v['ours']} "
+                  f"{'OK' if v['ok'] else 'FAIL'}")
+            continue
         if k == "best":
             print(f"{'best':26s} ref iter {v['ref']['iter']:.0f} "
                   f"acc {v['ref']['val_acc']:.4f} | ours iter "
                   f"{v['ours']['iter']:.0f} acc {v['ours']['val_acc']:.4f} "
                   f"{'OK' if v['ok'] else 'FAIL'}")
             continue
+        status = ("INFO" if v["ok"] is None
+                  else "OK" if v["ok"] else "FAIL (tol %g)" % v["tol"])
         print(f"{k:26s} ref {v['ref_first']:+.4f}->{v['ref_last']:+.4f} | "
               f"ours {v['ours_first']:+.4f}->{v['ours_last']:+.4f} | "
-              f"max {v['kind']} err {v['max_err']:.2e} "
-              f"{'OK' if v['ok'] else 'FAIL (tol %g)' % v['tol']}")
+              f"max {v['kind']} err {v['max_err']:.2e} {status}")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(report, f, indent=2)
-    if not all(v["ok"] for v in report.values()):
+    if not all(v["ok"] is not False for v in report.values()):
         sys.exit(1)
 
 
