@@ -518,18 +518,31 @@ def run_families_child(keys):
 
 
 def pipeline_bench(extract_sum, variables):
-    """Synthetic JPEGs -> threaded decode -> threaded transfer -> forward
+    """Synthetic JPEGs -> process-pool decode -> transfer thread -> forward
     -> per-batch feature fetch (exactly cli/features.py's hot loop).
 
     Runs after the process's first fetch (the headline measured first),
     so the whole pipeline lives in the relay's post-fetch regime — which
     is also a real extraction service's steady state (it fetches features
-    every batch).  ``pipeline_vs_link_bound`` divides the composed rate
-    by the SAME episode's measured post-fetch H2D cap (expressed as
-    img/s in ``pipeline_link_bound_img_per_s``): the relay's cap moves
-    run to run, so the ratio is the composition-quality signal."""
+    every batch).  The composed loop is FEEDER-structured: a dedicated
+    thread owns decode iteration + put submission, so a decode stall can
+    never idle the H2D link (r4's lag-2 main-thread loop measured
+    put_active 0.61 vs 0.73 for the feeder under the same link weather,
+    tools/exp_pipeline_ledger.py).
+
+    The relay's H2D cap both moves run-to-run (16-41 MB/s on identical
+    code) and DECAYS within an episode (a 24.5 -> 12.3 MB/s pre/post
+    bracket measured in one ledger run), so a single-put cap sample
+    overstates what the loop could have used.  This emits a per-stage
+    ledger instead: bracketed cap samples (``pipeline_cap_{pre,post}_
+    MBps``), the rate the link actually delivered while a put was in
+    flight (``pipeline_inloop_put_MBps`` — the in-episode achievable
+    link rate), and the fraction of the wall with a put in flight
+    (``pipeline_put_active_frac``).  ``pipeline_vs_link_bound`` divides
+    the composed rate by min(in-loop link rate, saturated decode rate):
+    framework composition quality, de-weathered; the bracket + blocked
+    fractions let a reader audit the residual."""
     import tempfile
-    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
@@ -564,10 +577,16 @@ def pipeline_bench(extract_sum, variables):
     # img/s).  Timing the post-warm-up batches of a longer streaming
     # pass measures the pool's saturated arrival rate — the actual
     # decode supply ceiling the composed loop sees.
+    # thread decode, 4 workers: on this 1-core host the process pool's
+    # 75 MB-per-batch pickle transport costs 2.4-2.7x (185.5 vs 69-70
+    # img/s composed, tools/exp_pipe_1core.py same-window sweep); thread
+    # decode shares the native decoder's released-GIL sections instead
+    kind = os.environ.get("UML_PIPELINE_DECODE", "thread")
+    n_work = int(os.environ.get("UML_PIPELINE_DECODE_WORKERS", "4"))
     warm = items[:2 * PIPELINE_BATCH]
     loader = ImageBatchLoader(warm + items, "crop", PIPELINE_BATCH,
-                              num_workers=12, prefetch=8,
-                              worker_kind="process")
+                              num_workers=n_work, prefetch=max(n_work, 4),
+                              worker_kind=kind)
     first_batch, n_seen = None, 0
     t0 = time.time()
     half_t = None
@@ -582,88 +601,132 @@ def pipeline_bench(extract_sum, variables):
     decode_rate = (steady_n / steady_s if steady_n > 0 and steady_s > 0
                    else n_seen / (time.time() - t0))
 
+    put_log = []
+
     def xfer(f):
         # synced put (unsynced ones trickle and queue later transfers
         # behind them); syncing on the TRANSFER THREAD still overlaps
         # the device's in-flight forwards
+        t0 = time.time()
         d = jax.device_put(f)
         d.block_until_ready()
+        put_log.append((t0, time.time()))
         return d
 
-    # post-fetch H2D link cap for THIS episode (the process fetched during
-    # the headline, so this measures the steady-state regime directly)
-    t0 = time.time()
-    staged0 = xfer(first_batch)
-    transfer_b_mbps = batch_mb / (time.time() - t0)
-    # compile the pipeline-shape forward
-    float(extract_sum(variables, staged0))
+    def cap_sample(n=3):
+        # bracketing link-cap sample: median of n synced fresh-buffer puts
+        rates = []
+        rng = np.random.default_rng(2)
+        for _ in range(n):
+            a = rng.integers(0, 255, (PIPELINE_BATCH, 224 * 224 * 3),
+                             dtype=np.uint8)
+            t0 = time.time()
+            d = jax.device_put(a)
+            d.block_until_ready()
+            rates.append(batch_mb / (time.time() - t0))
+            del d
+        return float(np.median(rates))
 
-    # steady-state composed pipeline: decode prefetch -> transfer thread
-    # (lag 2) -> forward -> fetch features one batch behind.  The loop
-    # self-attributes its wall-clock: time blocked on the transfer
-    # future (link-bound), on the per-batch feature fetch, and on the
-    # decode iterator — whatever remains is dispatch + true overlap.
-    loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH, num_workers=12,
-                              prefetch=8, worker_kind="process")
-    t_wait = t_fetch = t_decode = 0.0
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    # compile the pipeline-shape forward (post-fetch regime: the process
+    # fetched during the headline)
+    staged0 = xfer(first_batch)
+    float(extract_sum(variables, staged0))
+    cap_pre = cap_sample()
+
+    # steady-state composed pipeline, feeder-structured: a feeder thread
+    # iterates the decode pool and submits puts to the transfer thread
+    # (bounded queue of 3 staged batches caps device staging RAM); the
+    # main thread only waits on staged batches, dispatches the forward,
+    # and fetches features one batch behind.  The loop self-attributes
+    # its wall-clock: main blocked on staged batches (link-bound), on
+    # the per-batch feature fetch; feeder blocked on the decode iterator.
+    import queue
+
+    loader = ImageBatchLoader(items, "crop", PIPELINE_BATCH,
+                              num_workers=n_work, prefetch=max(n_work, 4),
+                              worker_kind=kind)
+    put_log.clear()
+    staged_q = queue.Queue(maxsize=3)
+    t_decode_box = [0.0]
+
+    def feed():
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            it = iter(loader)
+            while True:
+                td = time.time()
+                batch = next(it, None)
+                t_decode_box[0] += time.time() - td
+                if batch is None:
+                    break
+                imgs = batch[0]
+                staged_q.put(pool.submit(
+                    xfer, imgs.reshape(imgs.shape[0], -1)))
+            staged_q.put(None)
+
+    t_wait = t_fetch = 0.0
+    with ThreadPoolExecutor(max_workers=1) as feeder:
         t0 = time.time()
-        futs, outs = deque(), []
-        fetched = 0
-        it = iter(loader)
+        feeder.submit(feed)
+        outs, fetched = [], 0
         while True:
-            td = time.time()
-            batch = next(it, None)
-            t_decode += time.time() - td
-            if batch is None:
+            tw = time.time()
+            fut = staged_q.get()
+            if fut is None:
                 break
-            imgs = batch[0]
-            futs.append(pool.submit(
-                xfer, imgs.reshape(imgs.shape[0], -1)))
-            if len(futs) >= 2:
-                tw = time.time()
-                staged = futs.popleft().result()
-                t_wait += time.time() - tw
-                outs.append(extract_sum(variables, staged))
-            if len(outs) >= 2:
+            staged = fut.result()
+            t_wait += time.time() - tw
+            outs.append(extract_sum(variables, staged))
+            if len(outs) - fetched >= 2:
                 tf = time.time()
                 float(outs[fetched])  # fetch-behind, like cli/features.py
                 t_fetch += time.time() - tf
                 fetched += 1
-        while futs:
-            tw = time.time()
-            staged = futs.popleft().result()
-            t_wait += time.time() - tw
-            outs.append(extract_sum(variables, staged))
         for o in outs[fetched:]:
             tf = time.time()
             float(o)
             t_fetch += time.time() - tf
         total = time.time() - t0
         pipe_rate = PIPELINE_IMAGES / total
-    link_bound = transfer_b_mbps * 2**20 / (224 * 224 * 3)
-    # the composed loop's ceiling in THIS episode is its BINDING stage:
-    # usually the relay's post-fetch H2D cap, but when the host is busy
-    # (or on a decode-heavy box) the jpeg decode rate binds instead —
-    # dividing by min() keeps the ratio a composition-quality signal
-    # under either weather
-    bound = min(link_bound, decode_rate)
+    cap_post = cap_sample()
+
+    # in-loop link ledger: what the link delivered while a put was in
+    # flight, and how much of the wall had one in flight
+    t_put = sum(b - a for a, b in put_log)
+    inloop_mbps = (len(put_log) * batch_mb / t_put) if t_put else 0.0
+    put_active = t_put / total
+    link_bound = inloop_mbps * 2**20 / (224 * 224 * 3)
+    # the composed loop's ceiling in THIS episode: the link rate the
+    # loop ACTUALLY achieved while a put was in flight (the bracketed
+    # pre/post cap samples show how far the tunnel's cap moved around
+    # it) composed with the decode supply.  On a multi-core host decode
+    # and transfer overlap, so the BINDING stage bounds (min); on a
+    # 1-core host (this container: os.cpu_count()==1) every host stage
+    # time-shares the core, so the serial composition 1/(1/link +
+    # 1/decode) is the physics — decode cycles and put cycles cannot
+    # coexist
+    cores = os.cpu_count() or 1
+    if cores > 1:
+        bound = min(link_bound, decode_rate)
+    else:
+        bound = 1.0 / (1.0 / max(link_bound, 1e-9)
+                       + 1.0 / max(decode_rate, 1e-9))
     return {
         "pipeline_img_per_s": round(pipe_rate, 1),
         "pipeline_host_decode_img_per_s": round(decode_rate, 1),
-        "pipeline_transfer_postfetch_MBps": round(transfer_b_mbps, 1),
+        "pipeline_host_cores": cores,
+        "pipeline_cap_pre_MBps": round(cap_pre, 1),
+        "pipeline_cap_post_MBps": round(cap_post, 1),
+        "pipeline_inloop_put_MBps": round(inloop_mbps, 1),
+        "pipeline_put_active_frac": round(put_active, 2),
         "pipeline_link_bound_img_per_s": round(link_bound, 1),
         "pipeline_bound_img_per_s": round(bound, 1),
         "pipeline_vs_link_bound": round(pipe_rate / bound, 2),
-        # wall-clock self-attribution of the composed loop: fraction of
-        # total blocked on the H2D transfer future / the per-batch
-        # feature fetch / the decode iterator — when blocked_transfer
-        # dominates, the composed loop is tracking the link cap and the
-        # residual ratio gap is the cap's own intra-episode movement,
-        # not framework composition loss
+        # wall-clock self-attribution of the composed loop: main thread
+        # blocked on the staged-batch queue (link-bound) / the per-batch
+        # feature fetch; feeder thread blocked on the decode iterator
         "pipeline_blocked_transfer_frac": round(t_wait / total, 2),
         "pipeline_blocked_fetch_frac": round(t_fetch / total, 2),
-        "pipeline_blocked_decode_frac": round(t_decode / total, 2),
+        "pipeline_blocked_decode_frac": round(t_decode_box[0] / total, 2),
     }
 
 
@@ -705,26 +768,41 @@ def train_bench(model, variables, u8_batches):
             logits, labels).mean()
 
     # donate params+opt state like the real train loop (train/supervised
-    # step donates): avoids fresh allocations + copies every step
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(p, o, u8, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(p, u8, labels)
+    # step donates): avoids fresh allocations + copies every step.
+    # Batches past the stash-friendly size run as a lax.scan of
+    # microbatches with fp32 grad accumulation (train/accum.py): each
+    # slice executes the bs<=256-shaped program with the forward-stash
+    # backwards ON, so big batches inherit the small batch's per-image
+    # rate instead of falling back to the recompute backward.
+    from uml_tpu.train.accum import microbatched_value_and_grad, pick_microbatch
+
+    cfg = model.config
+
+    # mb is a STATIC jit arg (the cache keys on it) — same rule as the
+    # kernel G/IL flags (ADVICE r4: no trace-time reads of mutable state)
+    @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0, 1))
+    def step(p, o, u8, labels, mb):
+        vg = microbatched_value_and_grad(loss_fn, mb)
+        loss, grads = vg(p, u8, labels)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
+    seq = cfg.grid_size ** 2 + 1
     p, o = params, opt
     iters = 5
     out = []
     for u8 in u8_batches:
         b = u8.shape[0]
+        mb = pick_microbatch(b, seq, 3 * cfg.vision_width,
+                             4 * cfg.vision_width)
         labels = jnp.asarray(rng.integers(0, 100, (b,)), jnp.int32)
-        p, o, l = step(p, o, u8, labels)
+        p, o, l = step(p, o, u8, labels, mb)
         float(l)  # compile + sync
         rates = []
         for _ in range(RUNS):
             t0 = time.time()
             for _ in range(iters):
-                p, o, l = step(p, o, u8, labels)
+                p, o, l = step(p, o, u8, labels, mb)
             float(l)
             rates.append(b * iters / (time.time() - t0))
         out.append(median(rates))
@@ -903,9 +981,14 @@ def compose_record(metrics, shed=()):
         record["pipeline_note"] = (
             "jpeg decode->transfer->forward->fetch streaming "
             "(cli/features.py's hot loop); steady state sits in the "
-            "relay's post-fetch regime, H2D capped ~30 MB/s by the "
-            "tunnel — pipeline_vs_link_bound is the composed rate vs "
-            "the SAME episode's measured link cap")
+            "relay's post-fetch regime, H2D capped ~12-40 MB/s by the "
+            "tunnel and moving within an episode (cap_pre vs cap_post "
+            "bracket) — pipeline_vs_link_bound is the composed rate vs "
+            "the in-episode bound: min(in-loop link rate, decode rate) "
+            "on a multi-core host, their SERIAL composition 1/(1/link+"
+            "1/decode) on this 1-core container (host_cores field) "
+            "where decode and transfer cannot overlap; put_active_frac "
+            "+ blocked fracs are the per-stage ledger")
     if shed:
         record["shed"] = sorted(shed)
     record["elapsed_s"] = round(time.time() - _START, 1)
