@@ -1,0 +1,124 @@
+"""Whole-tower fused text kernel (ops.text_tower) vs the per-layer path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uml_tpu.ops.fused_attention import fold_ln_into_matmul
+from uml_tpu.ops.text_tower import (
+    _tower,
+    supports_text_tower,
+    text_tower,
+    text_tower_reference,
+)
+
+pytestmark = pytest.mark.fast
+
+L, S, K, HEADS = 3, 77, 512, 8
+HD = K
+
+
+def make_weights(key, dtype=jnp.float32):
+    ks = jax.random.split(key, 9)
+    sc = 0.03
+    w_eff = jax.random.normal(ks[0], (L, K, 3 * HD), dtype) * sc
+    b_eff = jax.random.normal(ks[1], (L, 3 * HD), jnp.float32) * sc
+    wo = jax.random.normal(ks[2], (L, HD, K), dtype) * sc
+    bo = jax.random.normal(ks[3], (L, K), jnp.float32) * sc
+    w1 = jax.random.normal(ks[4], (L, K, 4 * K), dtype) * sc
+    b1 = jax.random.normal(ks[5], (L, 4 * K), jnp.float32) * sc
+    w2 = jax.random.normal(ks[6], (L, 4 * K, K), dtype) * sc
+    b2 = jax.random.normal(ks[7], (L, K), jnp.float32) * sc
+    x = jax.random.normal(ks[8], (4, S, K), dtype)
+    return x, (w_eff, b_eff, wo, bo, w1, b1, w2, b2)
+
+
+def test_tower_kernel_matches_reference_interpret():
+    """Pallas tower (interpret mode) == the per-layer jnp twin, fp32."""
+    x, ws = make_weights(jax.random.key(0))
+    got = _tower(x, *ws, HEADS, 64, 1e-5)   # CPU backend -> interpret
+    want = text_tower_reference(x, *ws, heads=HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_tower_reference_matches_per_layer_blocks():
+    """The stacked-weight reference == composing the existing per-layer
+    block references (same math the two-kernel path computes)."""
+    from uml_tpu.ops.fused_attention import _raw_block_reference
+    from uml_tpu.ops.ln_matmul import _raw_mlp_block_reference
+
+    x, ws = make_weights(jax.random.key(1))
+    w_eff, b_eff, wo, bo, w1, b1, w2, b2 = ws
+    y = x
+    for i in range(L):
+        y = _raw_block_reference(y, w_eff[i], b_eff[i], wo[i], bo[i],
+                                 heads=HEADS, causal=True, eps=1e-5)
+        y = _raw_mlp_block_reference(y, w1[i], b1[i], w2[i], b2[i],
+                                     eps=1e-5, activation="quick_gelu")
+    got = text_tower_reference(x, *ws, heads=HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_tower_grad_matches_reference():
+    """custom_vjp backward (jnp-twin recompute) == direct autodiff of the
+    reference composition."""
+    x, ws = make_weights(jax.random.key(2))
+
+    def loss_tower(x, *ws):
+        return jnp.sum(_tower(x, *ws, HEADS, 64, 1e-5) ** 2)
+
+    def loss_ref(x, *ws):
+        return jnp.sum(text_tower_reference(x, *ws, heads=HEADS) ** 2)
+
+    g_tower = jax.grad(loss_tower, argnums=(0, 1, 5))(x, *ws)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 5))(x, *ws)
+    for a, b in zip(g_tower, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_supports_gate():
+    assert supports_text_tower(512, 8, 64, 77, 2048)
+    assert not supports_text_tower(512, 7, 64, 77, 2048)   # odd heads
+    assert not supports_text_tower(512, 8, 32, 77, 2048)   # D != 64
+    assert not supports_text_tower(500, 8, 64, 77, 2048)   # K % 128
+
+
+def test_clip_text_tower_path_matches_per_layer(monkeypatch):
+    """build_clip text forward with the tower path forced ON == the
+    per-layer fused/reference path, same params (fp32, CPU)."""
+    from uml_tpu.models.clip import build_clip
+
+    model = build_clip("ViT-B/32", dtype=jnp.float32)
+    toks = np.zeros((4, 77), np.int32)
+    toks[:, 0] = 49406
+    rng = np.random.default_rng(0)
+    toks[:, 1:10] = rng.integers(1000, 40000, (4, 9))
+    toks[:, 10] = 49407
+    variables = jax.jit(model.init)(jax.random.key(0),
+                                    jnp.zeros((1, 224, 224, 3), jnp.float32),
+                                    jnp.asarray(toks[:1]))
+
+    def enc(v, t):
+        return model.apply(v, t, method=lambda m, tt: m.encode_text(tt))
+
+    monkeypatch.setenv("UML_TEXT_TOWER", "0")
+    base = jax.jit(enc)(variables, jnp.asarray(toks))
+    monkeypatch.setenv("UML_TEXT_TOWER", "1")
+    # fresh jit: UML_TEXT_TOWER is read at trace time in Transformer
+    got = jax.jit(enc)(variables, jnp.asarray(toks))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_text_tower_auto_off_on_cpu():
+    """impl='auto' falls back to the reference twin on CPU."""
+    x, ws = make_weights(jax.random.key(3))
+    got = text_tower(x, *ws, heads=HEADS)
+    want = text_tower_reference(x, *ws, heads=HEADS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=0, rtol=0)

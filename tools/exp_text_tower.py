@@ -1,0 +1,71 @@
+"""Whole-tower text kernel A/B on the real chip (VERDICT r4 item 2).
+
+Same-window probes, fresh model per config (UML_TEXT_TOWER[_G] are
+trace-time reads; a fresh build re-traces):
+
+  base      per-layer two-kernel path (UML_TEXT_TOWER=0)
+  tower G   ops.text_tower at several batch groups
+  base      drift control
+
+Usage: timeout 1500 python tools/exp_text_tower.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def probe(env, toks):
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+    from uml_tpu.models.clip import build_clip
+
+    old = {}
+    for k, v in env.items():
+        old[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        model = build_clip("ViT-B/16", dtype=jnp.bfloat16)
+        variables = bench.init_on_cpu(lambda: model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+            jnp.zeros((1, 77), jnp.int32)))
+
+        @jax.jit
+        def enc_sum(v, t):
+            return model.apply(
+                v, t, method=lambda m, tt: m.encode_text(tt)).sum()
+
+        rate = bench.device_bench(enc_sum, variables, toks, iters=10, runs=3)
+        print(f"{str(env):48s} {rate:9.1f} sent/s", flush=True)
+        return rate
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def main():
+    import bench
+
+    toks = bench.stage_tokens(bench.BATCH)
+    probe({"UML_TEXT_TOWER": "0"}, toks)
+    # weight-stream traffic scales (bsz/G) x 75.6 MB (ViT-B text): at the
+    # round-4 default G=8 that's ~19 GB per 2048 batch (~24 ms at HBM bw,
+    # on par with the tower's MXU time) — larger G amortizes it away;
+    # VMEM at G=64 is ~35 MB, well under the 96 MB ceiling
+    for g in ("8", "16", "32", "64"):
+        probe({"UML_TEXT_TOWER": "1", "UML_TEXT_TOWER_G": g}, toks)
+    probe({"UML_TEXT_TOWER": "0"}, toks)  # drift control
+
+
+if __name__ == "__main__":
+    main()

@@ -82,8 +82,18 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
     242-244), and through the axon relay the first device->host fetch
     permanently collapses the H2D bulk-transfer path ~50x
     (tools/exp_poison_trigger.py) — so a plain 512-dim extraction sweep
-    never fetches mid-stream unless the split exceeds ~500k images."""
+    never fetches mid-stream unless the split exceeds ~500k images.
+
+    Feeder-structured: a feeder thread owns decode iteration + transfer
+    submission (stage_images on a 1-worker transfer pool), so a decode
+    stall never idles the H2D link and a transfer never blocks the
+    decode drain; the main thread consumes staged batches, dispatches
+    the forward (encode_staged), and manages the pending fetch window.
+    Measured on the composed bench loop: link-active fraction 0.61 ->
+    0.73 under the same link weather (tools/exp_pipeline_ledger.py)."""
+    import queue
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
     import jax
 
@@ -95,7 +105,7 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
                                   "UML_DECODE_WORKERS", "thread"),
                               num_workers=num_workers, seed=seed)
     decoder = "native-libjpeg" if loader._native is not None else "pil"
-    enqueue = getattr(encoder, "encode_images_async", None)
+    stage = getattr(encoder, "stage_images", None)
     feats, labels, paths = [], [], []
     pending = deque()
     pending_bytes = 0
@@ -109,19 +119,46 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
             labels.append(labs)
             paths.extend(pths)
 
-    for i, (imgs, labs, pths) in enumerate(loader):
-        if enqueue is not None:
-            out, n = enqueue(imgs, batch_pad=batch_size,
-                             return_tokens=return_tokens)
-            pending.append((out, n, labs, pths))
-            pending_bytes += out.nbytes
-            drain(budget)
-            if len(pending) >= 8:  # fetch-free dispatch backpressure
-                jax.block_until_ready(pending[-8][0])
-            if return_tokens and i == 0:
-                print("Shape of image patch embeddings:",
-                      (n, *out.shape[1:]))
-        else:
+    if stage is not None:
+        staged_q = queue.Queue(maxsize=3)  # bounds device staging RAM
+
+        def feed():
+            # the terminal None is in a finally so a decode error can
+            # never leave the main thread blocked on the queue; the
+            # feeder future re-raises the error after the loop drains
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                try:
+                    for imgs, labs, pths in loader:
+                        staged_q.put((pool.submit(stage, imgs, batch_size),
+                                      labs, pths))
+                finally:
+                    staged_q.put(None)
+
+        with ThreadPoolExecutor(max_workers=1) as feeder:
+            feed_fut = feeder.submit(feed)
+            i = 0
+            while True:
+                entry = staged_q.get()
+                if entry is None:
+                    feed_fut.result()  # re-raise decode errors
+                    break
+                fut, labs, pths = entry
+                batch, n = fut.result()
+                out, n = encoder.encode_staged(batch, n,
+                                               return_tokens=return_tokens)
+                pending.append((out, n, labs, pths))
+                pending_bytes += out.nbytes
+                drain(budget)
+                if len(pending) >= 8:  # fetch-free dispatch backpressure
+                    jax.block_until_ready(pending[-8][0])
+                if return_tokens and i == 0:
+                    print("Shape of image patch embeddings:",
+                          (n, *out.shape[1:]))
+                i += 1
+                if i % 20 == 0:
+                    print(f"   ... {i}/{len(loader)} batches")
+    else:
+        for i, (imgs, labs, pths) in enumerate(loader):
             out = encoder.encode_images(imgs, batch_pad=batch_size,
                                         return_tokens=return_tokens)
             if return_tokens and i == 0:
@@ -129,8 +166,8 @@ def image_features(encoder, items, augmentation, batch_size, num_workers,
             feats.append(out)
             labels.append(labs)
             paths.extend(pths)
-        if (i + 1) % 20 == 0:
-            print(f"   ... {i + 1}/{len(loader)} batches")
+            if (i + 1) % 20 == 0:
+                print(f"   ... {i + 1}/{len(loader)} batches")
 
     def _finalize():
         drain(0)
@@ -373,6 +410,11 @@ class _HFEncoderAdapter:
                             return_tokens=False):
         """Enqueue transfer + forward without fetching (see
         ClipEncoder.encode_images_async)."""
+        batch, n = self.stage_images(imgs_uint8, batch_pad)
+        return self.encode_staged(batch, n, return_tokens)
+
+    def stage_images(self, imgs_uint8, batch_pad=None):
+        """Synced transfer only (see ClipEncoder.stage_images)."""
         assert self.vision is not None, "no vision model configured"
         import jax.numpy as jnp
 
@@ -381,14 +423,17 @@ class _HFEncoderAdapter:
             imgs_uint8 = np.concatenate(
                 [imgs_uint8,
                  np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
-        fn = self._enc_tokens if return_tokens else self._enc
         flat = imgs_uint8.reshape(imgs_uint8.shape[0], -1)
         batch = jnp.asarray(flat)
         # sync the transfer before dispatch (slow use-triggered relay send
-        # otherwise; see ClipEncoder.encode_images_async)
+        # otherwise; see ClipEncoder.stage_images)
         import jax
 
         jax.block_until_ready(batch)
+        return batch, n
+
+    def encode_staged(self, batch, n, return_tokens=False):
+        fn = self._enc_tokens if return_tokens else self._enc
         return fn(self._variables, batch), n
 
     def encode_images(self, imgs_uint8, batch_pad=None, return_tokens=False):

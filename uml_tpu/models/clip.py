@@ -33,9 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from uml_tpu.ops.attention import dense_attention_bshd, multi_head_attention
-from uml_tpu.ops.fused_attention import (CLS_ROWS, ln_attn_block,
-                                         ln_attn_block_cls)
+from uml_tpu.ops.fused_attention import (CLS_ROWS, fold_ln_into_matmul,
+                                         ln_attn_block, ln_attn_block_cls)
 from uml_tpu.ops.ln_matmul import add_ln_matmul, ln_matmul, ln_mlp_block
+from uml_tpu.ops.text_tower import supports_text_tower, text_tower
 from uml_tpu.ops.patch_embed import patch_embed_u8
 
 
@@ -158,10 +159,36 @@ class ResidualAttentionBlock(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, x, causal: bool = False, cls_only: bool = False):
+    def __call__(self, x, causal: bool = False, cls_only: bool = False,
+                 collect_weights: bool = False):
         """``cls_only``: compute only the first CLS_ROWS output rows (the
         final block of an encode-image path, where only the CLS token is
-        consumed).  Row 0 equals the full block's row 0."""
+        consumed).  Row 0 equals the full block's row 0.
+
+        ``collect_weights``: declare the block's params (same names,
+        shapes, and order as a compute call) and return the LN-folded
+        weight tuple instead of computing — the whole-tower text kernel
+        (ops.text_tower) stacks these across layers and runs all L
+        layers in one Pallas program."""
+        if collect_weights:
+            ln1_scale, ln1_bias = FP32LayerNorm(name="ln_1")(
+                x, return_params=True)
+            qkv_kernel, qkv_bias = _DenseKernelBias(
+                self.width, 3 * self.width, name="qkv")()
+            out_kernel, out_bias = _DenseKernelBias(
+                self.width, self.width, name="out_proj")()
+            ln2_scale, ln2_bias = FP32LayerNorm(name="ln_2")(
+                x, return_params=True)
+            fc_kernel, fc_bias = _DenseKernelBias(
+                self.width, 4 * self.width, name="c_fc")()
+            proj_kernel, proj_bias = _DenseKernelBias(
+                4 * self.width, self.width, name="c_proj")()
+            w_eff, b_eff = fold_ln_into_matmul(
+                ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype), qkv_bias)
+            w1_eff, b1_eff = fold_ln_into_matmul(
+                ln2_scale, ln2_bias, fc_kernel.astype(self.dtype), fc_bias)
+            return (w_eff, b_eff, out_kernel.astype(self.dtype), out_bias,
+                    w1_eff, b1_eff, proj_kernel.astype(self.dtype), proj_bias)
         b, s, _ = x.shape
         h = self.heads
         d = self.width // h
@@ -313,6 +340,23 @@ class Transformer(nn.Module):
         """``cls_only_last``: the final block computes only the first
         CLS_ROWS rows — for encode-image paths that keep just the CLS
         token (row 0 is identical to the full computation)."""
+        if self._use_tower(x, causal, cls_only_last):
+            # whole-tower fused path (ops.text_tower): all L layers in
+            # ONE Pallas program, the residual stream VMEM-resident
+            # across layers, per-layer folded weights streamed — the
+            # per-layer path's 2L dispatch barriers and 2L HBM
+            # round-trips of x dominate at the text tower's small shape
+            # (S=77, K=512).  Params are declared by the same blocks in
+            # the same order (collect_weights), so the tree is identical.
+            per_layer = [
+                ResidualAttentionBlock(
+                    self.width, self.heads, self.dtype, self.attn_impl,
+                    self.ln_matmul_impl, self.quant, name=f"resblocks_{i}",
+                )(x, collect_weights=True)
+                for i in range(self.layers)
+            ]
+            stacked = [jnp.stack(t) for t in zip(*per_layer)]
+            return text_tower(x, *stacked, heads=self.heads)
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, self.dtype, self.attn_impl,
@@ -320,6 +364,25 @@ class Transformer(nn.Module):
             )(x, causal=causal,
               cls_only=cls_only_last and i == self.layers - 1)
         return x
+
+    def _use_tower(self, x, causal, cls_only_last) -> bool:
+        import os
+
+        env = os.environ.get("UML_TEXT_TOWER", "auto")
+        if env == "0":
+            return False
+        d = self.width // self.heads
+        ok = (causal and not cls_only_last and self.quant == "none"
+              and self.attn_impl in ("auto", "fused")
+              and self.ln_matmul_impl != "reference"
+              and x.ndim == 3
+              and supports_text_tower(self.width, self.heads, d,
+                                      x.shape[1], 4 * self.width))
+        if env == "1":
+            return ok
+        # auto: on-TPU only (the CPU/interpret path exists for tests but
+        # the per-layer reference is faster there)
+        return ok and jax.default_backend() not in ("cpu",)
 
 
 class VisionTransformer(nn.Module):

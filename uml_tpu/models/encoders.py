@@ -129,12 +129,22 @@ class ClipEncoder:
         transfer) overlaps batch k's device forward — the extraction hot
         loop's pipelining (reference features.py:225-248 blocks per batch).
         Fetch with np.asarray(out)[:n]."""
+        batch, n = self.stage_images(imgs_uint8, batch_pad)
+        return self.encode_staged(batch, n, return_tokens)
+
+    def stage_images(self, imgs_uint8: np.ndarray,
+                     batch_pad: int | None = None):
+        """Pad + flatten + synced host->device transfer of one uint8
+        batch WITHOUT dispatching the forward: returns (device_batch,
+        n_valid).  Split out so a transfer thread can keep the H2D link
+        busy while the main thread dispatches (encode_staged) — a decode
+        or dispatch stall then never idles the link (cli/features.py's
+        feeder-structured loop)."""
         n = imgs_uint8.shape[0]
         if batch_pad is not None and n < batch_pad:
             imgs_uint8 = np.concatenate(
                 [imgs_uint8,
                  np.zeros((batch_pad - n, *imgs_uint8.shape[1:]), np.uint8)])
-        fn = self._enc_img_tokens if return_tokens else self._enc_img
         from uml_tpu.core.meshes import maybe_shard_batch
 
         # transfer flat: [B, H, W, 3] uint8 pads the 3-lane dim 42x on TPU
@@ -145,6 +155,12 @@ class ClipEncoder:
         # (tools/exp_pipeline_compose.py); prior batches' forwards are
         # already enqueued, so the device stays busy during the sync
         jax.block_until_ready(batch)
+        return batch, n
+
+    def encode_staged(self, batch, n: int, return_tokens: bool = False):
+        """Dispatch the jitted forward on an already-staged device batch
+        (see stage_images): returns (device_output, n_valid), unfetched."""
+        fn = self._enc_img_tokens if return_tokens else self._enc_img
         return fn(self.variables, batch), n
 
     def encode_images(self, imgs_uint8: np.ndarray, batch_pad: int | None = None,
