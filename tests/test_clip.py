@@ -208,3 +208,30 @@ def test_build_clip_names():
     assert rn.embed_dim == 1024
     with pytest.raises(ValueError):
         build_clip("ViT-H/99")
+
+
+@pytest.mark.fast
+def test_clip_sha256_verification(tmp_path, monkeypatch):
+    """Local-checkpoint integrity check (reference downloads by
+    SHA256-addressed URL and verifies the digest, engine/clip/clip.py:
+    29-39,65; zero-egress moves the check to load time)."""
+    import hashlib
+
+    from uml_tpu.models.encoders import verify_clip_sha256
+
+    p = tmp_path / "ViT-B-16.pt"
+    p.write_bytes(b"not the real checkpoint")
+    with pytest.raises(RuntimeError, match="SHA256"):
+        verify_clip_sha256("ViT-B/16", str(p))
+    # opt-out for deliberately patched checkpoints
+    monkeypatch.setenv("UML_CLIP_VERIFY_SHA", "0")
+    verify_clip_sha256("ViT-B/16", str(p))
+    monkeypatch.delenv("UML_CLIP_VERIFY_SHA")
+    # unknown names have no digest to check
+    verify_clip_sha256("ViT-NOT-A-MODEL/1", str(p))
+    # a file matching its digest passes
+    from uml_tpu.models import encoders
+
+    digest = hashlib.sha256(p.read_bytes()).hexdigest()
+    monkeypatch.setitem(encoders.CLIP_SHA256, "ViT-B/16", digest)
+    verify_clip_sha256("ViT-B/16", str(p))

@@ -58,11 +58,13 @@ def main():
 
     toks = bench.stage_tokens(bench.BATCH)
     probe({"UML_TEXT_TOWER": "0"}, toks)
-    # weight-stream traffic scales (bsz/G) x 75.6 MB (ViT-B text): at the
-    # round-4 default G=8 that's ~19 GB per 2048 batch (~24 ms at HBM bw,
-    # on par with the tower's MXU time) — larger G amortizes it away;
-    # VMEM at G=64 is ~35 MB, well under the 96 MB ceiling
-    for g in ("8", "16", "32", "64"):
+    # round-4 per-entry kernel body read G8/16/32 = 23958/20637/22030
+    # sent/s (flat-to-worse with G): row fill, not weight streaming,
+    # binds at S=77 — per-entry [77, K] projections fill 60% of the
+    # 128-row MXU tile.  The group-flat body does all projections over
+    # [G*S, *] (G=8 -> 616 rows, 96% fill); G probes bound the new
+    # body's VMEM-vs-fill tradeoff.
+    for g in ("4", "8", "16"):
         probe({"UML_TEXT_TOWER": "1", "UML_TEXT_TOWER_G": g}, toks)
     probe({"UML_TEXT_TOWER": "0"}, toks)  # drift control
 

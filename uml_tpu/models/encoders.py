@@ -22,6 +22,43 @@ from uml_tpu.models.tokenizer import tokenize
 from uml_tpu.ops import normalize_images
 
 
+# Official OpenAI checkpoint SHA256 digests (the reference embeds these
+# in its download URLs and verifies after fetch, engine/clip/clip.py:
+# 29-39,50,65 — zero-egress here, so the integrity check moves to load
+# time over the local file)
+CLIP_SHA256 = {
+    "RN50": "afeb0e10f9e5a86da6080e35cf09123aca3b358a0c3e3b6c78a7b63bc04b6762",
+    "RN101": "8fa8567bab74a42d41c5915025a8e4538c3bdbe8804a470a72f30b0d94fab599",
+    "RN50x4": "7e526bd135e493cef0776de27d5f42653e6b4c8bf9e0f653bb11773263205fdd",
+    "RN50x16": "52378b407f34354e150460fe41077663dd5b39c54cd0bfd2b27167a4a06ec9aa",
+    "ViT-B/32": "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af",
+    "ViT-B/16": "5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f",
+}
+
+
+def verify_clip_sha256(name: str, path: str) -> None:
+    """Raise if the local checkpoint's SHA256 mismatches the official
+    digest (reference clip.py:65 raises the same way after download).
+    Unknown names pass (no digest to check); UML_CLIP_VERIFY_SHA=0
+    skips (e.g. deliberately patched checkpoints)."""
+    if os.environ.get("UML_CLIP_VERIFY_SHA", "1") == "0":
+        return
+    want = CLIP_SHA256.get(name)
+    if want is None:
+        return
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 22), b""):
+            h.update(chunk)
+    if h.hexdigest() != want:
+        raise RuntimeError(
+            f"{path} SHA256 {h.hexdigest()} does not match the official "
+            f"{name} checkpoint digest {want}; set UML_CLIP_VERIFY_SHA=0 "
+            "to load it anyway")
+
+
 def clip_weights_path(name: str) -> str | None:
     root = os.environ.get("UML_CLIP_WEIGHTS_DIR", "")
     if not root:
@@ -41,6 +78,7 @@ def load_clip(name: str, dtype=jnp.bfloat16, allow_random_init: bool = False,
     if path is not None:
         from uml_tpu.models.port_torch import load_clip_checkpoint
 
+        verify_clip_sha256(name, path)
         print(f"=> Loading CLIP weights from {path}")
         return load_clip_checkpoint(path, dtype=dtype, quant=quant)
     if not allow_random_init:

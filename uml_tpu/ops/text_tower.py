@@ -14,8 +14,8 @@ double-buffers the next layer's ~6.3 MB (ViT-B text) weight fetch under
 the current layer's compute, so the stream rides the same HBM bandwidth
 the two-kernel path spent on activations.
 
-Numerics are the two-kernel path's exactly (same per-entry bodies: raw
-LN folded into the matmuls, head-pair causal attention, slab MLP); the
+Numerics are the two-kernel path's exactly (raw LN folded into the
+matmuls, head-pair causal attention, group-flat projections); the
 backward falls back to jax.vjp over the jnp twin (the supervised
 finetune never trains the text tower — reference finetune.py freezes it
 and precomputes text features — so the tower kernel is a forward/
@@ -48,12 +48,21 @@ __all__ = ["text_tower", "supports_text_tower", "text_tower_reference"]
 
 def _tower_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
-                  eps, heads, head_dim, slab):
+                  eps, heads, head_dim):
     """One (batch-group, layer) grid step: attention half + MLP half for
     G entries, reading and writing the group's residual stream in o_ref
     (seeded from x_ref at layer 0).  o_ref's block index is constant in
     the layer axis, so the block stays VMEM-resident across layers and
-    flushes to HBM once per group."""
+    flushes to HBM once per group.
+
+    Projections are GROUP-FLAT: LN/QKV/out-proj/MLP all run over the
+    [G*S, *] row space in single dots (G=8 -> 616 rows = 96% MXU
+    row-tile fill), not per entry — at S=77 a per-entry [77, K] dot
+    fills only 60% of the 128-row tile, and the same-window sweep read
+    the per-entry body at G8/16/32 = 23958/20637/22030 sent/s (flat to
+    WORSE with G: row fill, not weight streaming, binds).  Only the
+    [S, S] causal score/softmax math stays per entry (0.3 of the 5
+    GF/sentence)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -65,46 +74,53 @@ def _tower_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
     # attention half: o = o + MHA(rawLN(o) @ w + b) @ wo + bo
     # (biases ride as [L, 1, W] so the bias block's trailing two dims
     # equal the array's — Mosaic's block-shape rule for real lowering)
-    for jj in range(g):
-        xf = o_ref[jj].astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
-        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
-        qkv = jnp.dot(xn, w_ref[0],
-                      preferred_element_type=jnp.float32).astype(w_ref.dtype)
-        cols = _pair_attention(qkv, heads=heads, head_dim=head_dim,
-                               causal=True, dot_dtype=w_ref.dtype,
-                               b_eff=b_ref[0, 0])
-        attn = jnp.concatenate(cols, axis=-1).astype(wo_ref.dtype)
-        delta = jnp.dot(attn, wo_ref[0], preferred_element_type=jnp.float32)
-        o_ref[jj] = (xf + delta
-                     + bo_ref[0, 0].astype(jnp.float32)).astype(o_ref.dtype)
+    xf = o_ref[...].reshape(g * s, k).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+    qkv = jnp.dot(xn, w_ref[0],
+                  preferred_element_type=jnp.float32).astype(w_ref.dtype)
+    # per-entry scores/softmax (qkv bias rides _pair_attention's masked
+    # FMAs; the k-bias is softmax-invariant and dropped there)
+    attn = jnp.concatenate([
+        jnp.concatenate(
+            _pair_attention(qkv[jj * s:(jj + 1) * s], heads=heads,
+                            head_dim=head_dim, causal=True,
+                            dot_dtype=w_ref.dtype, b_eff=b_ref[0, 0]),
+            axis=-1)
+        for jj in range(g)], axis=0).astype(wo_ref.dtype)
+    delta = jnp.dot(attn, wo_ref[0], preferred_element_type=jnp.float32)
+    # round-trip through the residual dtype between halves: the
+    # two-kernel path stores x to HBM between the attention and MLP
+    # kernels, and the jnp twin mirrors that cast — bit-parity kept
+    o = (xf + delta + bo_ref[0, 0].astype(jnp.float32)
+         ).astype(o_ref.dtype).astype(jnp.float32)
 
-    # MLP half: o = o + act(rawLN(o) @ w1 + b1) @ w2 + b2 (slabbed rows)
-    step = slab if g % slab == 0 else (2 if g % 2 == 0 else 1)
-    for j0 in range(0, g, step):
-        xf = o_ref[j0:j0 + step].reshape(step * s, k).astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.maximum(
-            jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
-        xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
-        y = jnp.dot(xn, w1_ref[0], preferred_element_type=jnp.float32)
-        y = _KERNEL_ACTIVATIONS["quick_gelu"](
-            y + b1_ref[0, 0].astype(jnp.float32)).astype(w2_ref.dtype)
-        out = jnp.dot(y, w2_ref[0], preferred_element_type=jnp.float32)
-        out = (xf + out
-               + b2_ref[0, 0].astype(jnp.float32)).astype(o_ref.dtype)
-        o_ref[j0:j0 + step] = out.reshape(step, s, k)
+    # MLP half: o = o + act(rawLN(o) @ w1 + b1) @ w2 + b2, group-flat
+    mean = jnp.mean(o, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(o * o, axis=-1, keepdims=True) - mean * mean, 0.0)
+    xn = ((o - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
+    y = jnp.dot(xn, w1_ref[0], preferred_element_type=jnp.float32)
+    y = _KERNEL_ACTIVATIONS["quick_gelu"](
+        y + b1_ref[0, 0].astype(jnp.float32)).astype(w2_ref.dtype)
+    out = jnp.dot(y, w2_ref[0], preferred_element_type=jnp.float32)
+    out = out + o + b2_ref[0, 0].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype).reshape(g, s, k)
 
 
 def _tower_vmem_bytes(k, m3, m, hd, s, g, itemsize):
     """Working-set estimate: double-buffered per-layer weights + the
     group's resident residual block (+ x in, double-buffered on the
-    group axis) + fp32 temporaries of one entry/slab."""
+    group axis) + the group-flat fp32/bf16 temporaries ([G*S, *] xf,
+    qkv, attn, y)."""
     weights = (k * m3 + hd * k + k * m + m * k) * itemsize * 2
     acts = 3 * g * s * k * itemsize          # o resident + x (db)
-    temps = 4 * s * (m3 + m) + 4 * 2 * s * m  # qkv/y fp32 slabs
+    temps = g * s * (4 * 2 * k              # xf + o fp32
+                     + 4 * m3 + itemsize * m3   # qkv fp32 + cast
+                     + 4 * hd                   # attn cols fp32
+                     + 4 * m + itemsize * m)    # y fp32 + cast
     return weights + acts + temps
 
 
@@ -112,8 +128,12 @@ def _tower_g(bsz, k, m3, m, hd, s, itemsize):
     g = int(os.environ.get("UML_TEXT_TOWER_G", "8"))
     while g > 1 and bsz % g != 0:
         g //= 2
+    # gate at the SLACKED footprint (the same 1.6x _tower_fwd requests):
+    # the old-kernel G=64 probe OOM'd scoped VMEM with a 1.3x request
+    # (40.09M actual vs 38.30M limit) — Mosaic's stack allocation runs
+    # ~where the estimate says but needs real headroom
     while (g > 1
-           and _tower_vmem_bytes(k, m3, m, hd, s, g, itemsize)
+           and _tower_vmem_bytes(k, m3, m, hd, s, g, itemsize) * 1.6
            > VMEM_CEILING):
         g //= 2
     return g
@@ -137,11 +157,10 @@ def _tower_fwd(x, w_eff, b_eff, wo, bo, w1, b1, w2, b2,
     b_eff, bo, b1, b2 = (a[:, None] for a in (b_eff, bo, b1, b2))
     need = _tower_vmem_bytes(k, m3, m, hd, s, g, x.dtype.itemsize)
     cparams = pltpu.CompilerParams(
-        vmem_limit_bytes=min(int(need * 1.3) + 2**20, VMEM_CEILING))
-    slab = 2 if g % 2 == 0 else 1
+        vmem_limit_bytes=min(int(need * 1.6) + 2**21, VMEM_CEILING))
     return pl.pallas_call(
         functools.partial(_tower_kernel, eps=eps, heads=heads,
-                          head_dim=head_dim, slab=slab),
+                          head_dim=head_dim),
         grid=(bsz // g, layers),
         compiler_params=cparams,
         in_specs=[
