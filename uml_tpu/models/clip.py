@@ -480,13 +480,19 @@ class TextTransformer(nn.Module):
             self.dtype, self.attn_impl, self.ln_matmul_impl, self.quant,
             name="transformer",
         )(x, causal=True)
-        x = FP32LayerNorm(name="ln_final")(x)
 
         eot_indices = jnp.argmax(tokens, axis=-1)
         if return_tokens:
+            x = FP32LayerNorm(name="ln_final")(x)
             return (x, eot_indices) if return_eot else x
 
+        # pool the EOT row BEFORE ln_final: LN is per-row, so gather-then-
+        # LN is bit-identical to LN-then-gather (model.py:358 applies
+        # ln_final to all rows then pools) while running the fp32 pass
+        # over [B, K] instead of [B, S, K] — S=77x less fp32 LN traffic
+        # on the extraction path
         pooled = jnp.take_along_axis(x, eot_indices[:, None, None], axis=1)[:, 0]
+        pooled = FP32LayerNorm(name="ln_final")(pooled)
         text_projection = self.param(
             "text_projection",
             nn.initializers.normal(cfg.transformer_width**-0.5),
