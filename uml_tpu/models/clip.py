@@ -167,9 +167,15 @@ class ResidualAttentionBlock(nn.Module):
 
         ``collect_weights``: declare the block's params (same names,
         shapes, and order as a compute call) and return the LN-folded
-        weight tuple instead of computing — the whole-tower text kernel
-        (ops.text_tower) stacks these across layers and runs all L
-        layers in one Pallas program."""
+        weight tuple instead of computing — the whole-tower kernels
+        (ops.text_tower, ops.tower_q8) stack these across layers and run
+        all L layers in one Pallas program.  ``True`` folds at
+        ``self.dtype`` (the bf16 tower); ``"q8"`` folds the QKV/c_fc
+        kernels in fp32 while casting out_proj/c_proj to ``self.dtype``
+        — exactly the dtypes the per-layer int8 path quantizes from
+        (ln_attn_block_q8 folds raw fp32 params; wo/w2 arrive pre-cast),
+        so ops.quant.quantize_weight over these reproduces the
+        per-layer integers bit-for-bit."""
         if collect_weights:
             ln1_scale, ln1_bias = FP32LayerNorm(name="ln_1")(
                 x, return_params=True)
@@ -183,10 +189,12 @@ class ResidualAttentionBlock(nn.Module):
                 self.width, 4 * self.width, name="c_fc")()
             proj_kernel, proj_bias = _DenseKernelBias(
                 4 * self.width, self.width, name="c_proj")()
+            fold_dtype = (qkv_kernel.dtype if collect_weights == "q8"
+                          else self.dtype)
             w_eff, b_eff = fold_ln_into_matmul(
-                ln1_scale, ln1_bias, qkv_kernel.astype(self.dtype), qkv_bias)
+                ln1_scale, ln1_bias, qkv_kernel.astype(fold_dtype), qkv_bias)
             w1_eff, b1_eff = fold_ln_into_matmul(
-                ln2_scale, ln2_bias, fc_kernel.astype(self.dtype), fc_bias)
+                ln2_scale, ln2_bias, fc_kernel.astype(fold_dtype), fc_bias)
             return (w_eff, b_eff, out_kernel.astype(self.dtype), out_bias,
                     w1_eff, b1_eff, proj_kernel.astype(self.dtype), proj_bias)
         b, s, _ = x.shape
@@ -340,6 +348,41 @@ class Transformer(nn.Module):
         """``cls_only_last``: the final block computes only the first
         CLS_ROWS rows — for encode-image paths that keep just the CLS
         token (row 0 is identical to the full computation)."""
+        if self._use_tower_q8(x, causal, cls_only_last):
+            # whole-tower W8A8 path (ops.tower_q8): every FULL int8 layer
+            # in one Pallas program (the final cls_only block stays bf16,
+            # exactly like the per-layer int8 path).  Weights are folded
+            # at the per-layer path's dtypes and pre-quantized with the
+            # same quantize_weight, so the integers — and the features —
+            # match the per-layer path's.
+            from uml_tpu.ops.quant import quantize_weight
+            from uml_tpu.ops.tower_q8 import tower_q8
+
+            n_full = self.layers - (1 if cls_only_last else 0)
+            per_layer = [
+                ResidualAttentionBlock(
+                    self.width, self.heads, self.dtype, self.attn_impl,
+                    self.ln_matmul_impl, self.quant, name=f"resblocks_{i}",
+                )(x, collect_weights="q8")
+                for i in range(n_full)
+            ]
+            q8 = []
+            for (w_eff, b_eff, wo, bo, w1_eff, b1_eff, w2, b2) in per_layer:
+                wq, wsc = quantize_weight(w_eff)
+                woq, wosc = quantize_weight(wo)
+                w1q, w1sc = quantize_weight(w1_eff)
+                w2q, w2sc = quantize_weight(w2)
+                q8.append((wq, wsc, b_eff, woq, wosc, bo,
+                           w1q, w1sc, b1_eff, w2q, w2sc, b2))
+            stacked = [jnp.stack(t) for t in zip(*q8)]
+            x = tower_q8(x, *stacked, heads=self.heads)
+            if cls_only_last:
+                x = ResidualAttentionBlock(
+                    self.width, self.heads, self.dtype, self.attn_impl,
+                    self.ln_matmul_impl, self.quant,
+                    name=f"resblocks_{self.layers - 1}",
+                )(x, cls_only=True)
+            return x
         if self._use_tower(x, causal, cls_only_last):
             # whole-tower fused path (ops.text_tower): all L layers in
             # ONE Pallas program, the residual stream VMEM-resident
@@ -364,6 +407,28 @@ class Transformer(nn.Module):
             )(x, causal=causal,
               cls_only=cls_only_last and i == self.layers - 1)
         return x
+
+    def _use_tower_q8(self, x, causal, cls_only_last) -> bool:
+        import os
+
+        from uml_tpu.ops.tower_q8 import supports_tower_q8
+
+        env = os.environ.get("UML_TOWER_Q8", "auto")
+        if env == "0":
+            return False
+        d = self.width // self.heads
+        ok = (not causal and self.quant == "int8"
+              and self.attn_impl in ("auto", "fused")
+              and self.ln_matmul_impl != "reference"
+              and x.ndim == 3
+              and self.layers > (1 if cls_only_last else 0)
+              and supports_tower_q8(self.width, self.heads, d,
+                                    x.shape[1], 4 * self.width))
+        if env == "1":
+            return ok
+        # auto: on-TPU only (the interpret path exists for tests; the
+        # per-layer reference is faster on CPU)
+        return ok and jax.default_backend() not in ("cpu",)
 
     def _use_tower(self, x, causal, cls_only_last) -> bool:
         import os

@@ -195,6 +195,12 @@ def _block_q8_kernel(x_ref, wq_ref, wsc_ref, b_ref, *refs, eps, heads,
         xf_all = x_ref[:].reshape(g * s, k).astype(jnp.float32)
         xq, xs = _ln_quantize_rows(xf_all, eps)
         qkv_all = _q8_dot(xq, xs, wq_ref[:], wsc_ref[:]).astype(dot_dtype)
+    # NOTE r5: a group-flat out-projection ([G*S, HD] x [HD, K] in one
+    # dot, amortizing the per-image 13.7% int8 row-tile pad) was
+    # implemented and A/B'd composed — 6415 vs 6439 img/s per-image in
+    # the same episode (tools/exp_q8_slab2.py): a wash.  MLP slab
+    # chunking (UML_Q8_MLP_SLAB) measured WORSE (6244/6277).  Both
+    # retired; the kernel keeps the per-image out-proj r4 shipped.
     for j in range(g):
         if slab:
             xf = xf_all[j * s:(j + 1) * s]
@@ -334,7 +340,17 @@ def _mlp_q8_fwd(x, w1q, w1sc, b1, w2q, w2sc, b2, eps, activation, interpret):
 
     def _slab(g):
         # same policy as ln_matmul._mlp_slab: full-G slab at production
-        # batches while the int32/fp32 hidden slab stays modest
+        # batches while the int32/fp32 hidden slab stays modest.
+        # UML_Q8_MLP_SLAB overrides the images-per-chunk count for A/B:
+        # smaller chunks give Mosaic independent VPU(quantize)/MXU(dot)
+        # chains to overlap within one program, at the cost of row-tile
+        # pad (trace-time read — A/B from a fresh process, like the
+        # UML_TEXT_TOWER probes)
+        import os
+
+        env = os.environ.get("UML_Q8_MLP_SLAB")
+        if env:
+            return max(1, min(g, int(env)))
         if not _q8_slab_enabled():
             return 1
         if bsz >= 64 and g * s <= 1024:
