@@ -57,16 +57,25 @@ def main():
     import bench
 
     toks = bench.stage_tokens(bench.BATCH)
-    probe({"UML_TEXT_TOWER": "0"}, toks)
     # round-4 per-entry kernel body read G8/16/32 = 23958/20637/22030
     # sent/s (flat-to-worse with G): row fill, not weight streaming,
     # binds at S=77 — per-entry [77, K] projections fill 60% of the
     # 128-row MXU tile.  The group-flat body does all projections over
     # [G*S, *] (G=8 -> 616 rows, 96% fill); G probes bound the new
-    # body's VMEM-vs-fill tradeoff.
-    for g in ("4", "8", "16"):
-        probe({"UML_TEXT_TOWER": "1", "UML_TEXT_TOWER_G": g}, toks)
-    probe({"UML_TEXT_TOWER": "0"}, toks)  # drift control
+    # body's VMEM-vs-fill tradeoff.  r5: kernel-only is 77.6 ms vs the
+    # 63.5 ms floor (tools/exp_text_decomp2.py) with only ~1.6 ms of
+    # non-kernel overhead in the composed path, so LB (layers per grid
+    # step) probes attack the 3072-step grid's per-step cost.
+    # LB VERDICT (r5, same-window): LB1 25853/25894 | LB2 20886 |
+    # LB3 23129 | LB4 23714 | LB6 24289 sent/s — per-step overhead is
+    # NOT the residual; multi-layer blocks degrade the layer-axis
+    # weight double-buffering monotonically with block size.  RETIRED;
+    # the default stays LB=1.
+    probe({"UML_TEXT_TOWER": "1", "UML_TEXT_TOWER_G": "8"}, toks)
+    for lb in ("2", "3", "4", "6"):
+        probe({"UML_TEXT_TOWER": "1", "UML_TEXT_TOWER_G": "8",
+               "UML_TEXT_TOWER_LB": lb}, toks)
+    probe({"UML_TEXT_TOWER": "1", "UML_TEXT_TOWER_G": "8"}, toks)  # drift
 
 
 if __name__ == "__main__":

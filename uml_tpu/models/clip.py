@@ -426,9 +426,16 @@ class Transformer(nn.Module):
                                     x.shape[1], 4 * self.width))
         if env == "1":
             return ok
-        # auto: on-TPU only (the interpret path exists for tests; the
-        # per-layer reference is faster on CPU)
-        return ok and jax.default_backend() not in ("cpu",)
+        # auto: OFF.  Measured on the v5e at the ViT-B/16 serving shape
+        # (tools/exp_tower_q8.py, same-window): per-layer 6585/6590 vs
+        # tower 6413 (G=2) / 5739 (G=4) img/s — at S=197/K=768 the
+        # per-layer int8 kernels already pipeline across layer
+        # boundaries, and the tower re-streams every layer's weights
+        # per batch group (~7.1 MB x L x B/G), which costs more than the
+        # 2L dispatch barriers it removes.  The win the text tower got
+        # at S=77/K=512 does not transfer; kept as an opt-in
+        # (UML_TOWER_Q8=1) for smaller-K serving shapes.
+        return False
 
     def _use_tower(self, x, causal, cls_only_last) -> bool:
         import os

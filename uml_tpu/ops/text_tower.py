@@ -49,11 +49,11 @@ __all__ = ["text_tower", "supports_text_tower", "text_tower_reference"]
 def _tower_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                   eps, heads, head_dim):
-    """One (batch-group, layer) grid step: attention half + MLP half for
-    G entries, reading and writing the group's residual stream in o_ref
-    (seeded from x_ref at layer 0).  o_ref's block index is constant in
-    the layer axis, so the block stays VMEM-resident across layers and
-    flushes to HBM once per group.
+    """One (batch-group, layer-block) grid step: attention half + MLP
+    half for G entries and LB consecutive layers, reading and writing
+    the group's residual stream in o_ref (seeded from x_ref at layer 0).
+    o_ref's block index is constant in the layer axis, so the block
+    stays VMEM-resident across layers and flushes to HBM once per group.
 
     Projections are GROUP-FLAT: LN/QKV/out-proj/MLP all run over the
     [G*S, *] row space in single dots (G=8 -> 616 rows = 96% MXU
@@ -62,7 +62,15 @@ def _tower_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
     the per-entry body at G8/16/32 = 23958/20637/22030 sent/s (flat to
     WORSE with G: row fill, not weight streaming, binds).  Only the
     [S, S] causal score/softmax math stays per entry (0.3 of the 5
-    GF/sentence)."""
+    GF/sentence).
+
+    LB > 1 (UML_TEXT_TOWER_LB) runs several layers per grid step —
+    fewer grid-step boundaries at G=8/L=12's 3072 steps — while the
+    layer-axis weight stream double-buffers LB layers at a time.
+    MEASURED (r5 same-window, tools/exp_text_tower.py): LB1 25.9k |
+    LB2 20.9k | LB3 23.1k | LB4 23.7k | LB6 24.3k sent/s — multi-layer
+    blocks degrade the weight-stream double-buffering more than the
+    saved step boundaries return; LB=1 stays the default."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -70,52 +78,56 @@ def _tower_kernel(x_ref, w_ref, b_ref, wo_ref, bo_ref,
         o_ref[...] = x_ref[...]
 
     g, s, k = o_ref.shape
+    lb = w_ref.shape[0]
 
-    # attention half: o = o + MHA(rawLN(o) @ w + b) @ wo + bo
-    # (biases ride as [L, 1, W] so the bias block's trailing two dims
-    # equal the array's — Mosaic's block-shape rule for real lowering)
-    xf = o_ref[...].reshape(g * s, k).astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
-    xn = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
-    qkv = jnp.dot(xn, w_ref[0],
-                  preferred_element_type=jnp.float32).astype(w_ref.dtype)
-    # per-entry scores/softmax (qkv bias rides _pair_attention's masked
-    # FMAs; the k-bias is softmax-invariant and dropped there)
-    attn = jnp.concatenate([
-        jnp.concatenate(
-            _pair_attention(qkv[jj * s:(jj + 1) * s], heads=heads,
-                            head_dim=head_dim, causal=True,
-                            dot_dtype=w_ref.dtype, b_eff=b_ref[0, 0]),
-            axis=-1)
-        for jj in range(g)], axis=0).astype(wo_ref.dtype)
-    delta = jnp.dot(attn, wo_ref[0], preferred_element_type=jnp.float32)
-    # round-trip through the residual dtype between halves: the
-    # two-kernel path stores x to HBM between the attention and MLP
-    # kernels, and the jnp twin mirrors that cast — bit-parity kept
-    o = (xf + delta + bo_ref[0, 0].astype(jnp.float32)
-         ).astype(o_ref.dtype).astype(jnp.float32)
+    o = o_ref[...].reshape(g * s, k).astype(jnp.float32)
+    for l in range(lb):
+        # attention half: o = o + MHA(rawLN(o) @ w + b) @ wo + bo
+        # (biases ride as [L, 1, W] so the bias block's trailing two dims
+        # equal the array's — Mosaic's block-shape rule for real lowering)
+        mean = jnp.mean(o, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(o * o, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((o - mean) * jax.lax.rsqrt(var + eps)).astype(w_ref.dtype)
+        qkv = jnp.dot(xn, w_ref[l],
+                      preferred_element_type=jnp.float32).astype(w_ref.dtype)
+        # per-entry scores/softmax (qkv bias rides _pair_attention's
+        # masked FMAs; the k-bias is softmax-invariant and dropped there)
+        attn = jnp.concatenate([
+            jnp.concatenate(
+                _pair_attention(qkv[jj * s:(jj + 1) * s], heads=heads,
+                                head_dim=head_dim, causal=True,
+                                dot_dtype=w_ref.dtype, b_eff=b_ref[l, 0]),
+                axis=-1)
+            for jj in range(g)], axis=0).astype(wo_ref.dtype)
+        delta = jnp.dot(attn, wo_ref[l], preferred_element_type=jnp.float32)
+        # round-trip through the residual dtype between halves and
+        # between layers: the two-kernel path stores x to HBM at each
+        # kernel boundary, and the jnp twin mirrors that cast —
+        # bit-parity kept
+        o = (o + delta + bo_ref[l, 0].astype(jnp.float32)
+             ).astype(o_ref.dtype).astype(jnp.float32)
 
-    # MLP half: o = o + act(rawLN(o) @ w1 + b1) @ w2 + b2, group-flat
-    mean = jnp.mean(o, axis=-1, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(o * o, axis=-1, keepdims=True) - mean * mean, 0.0)
-    xn = ((o - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
-    y = jnp.dot(xn, w1_ref[0], preferred_element_type=jnp.float32)
-    y = _KERNEL_ACTIVATIONS["quick_gelu"](
-        y + b1_ref[0, 0].astype(jnp.float32)).astype(w2_ref.dtype)
-    out = jnp.dot(y, w2_ref[0], preferred_element_type=jnp.float32)
-    out = out + o + b2_ref[0, 0].astype(jnp.float32)
-    o_ref[...] = out.astype(o_ref.dtype).reshape(g, s, k)
+        # MLP half: o = o + act(rawLN(o) @ w1 + b1) @ w2 + b2, group-flat
+        mean = jnp.mean(o, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(o * o, axis=-1, keepdims=True) - mean * mean, 0.0)
+        xn = ((o - mean) * jax.lax.rsqrt(var + eps)).astype(w1_ref.dtype)
+        y = jnp.dot(xn, w1_ref[l], preferred_element_type=jnp.float32)
+        y = _KERNEL_ACTIVATIONS["quick_gelu"](
+            y + b1_ref[l, 0].astype(jnp.float32)).astype(w2_ref.dtype)
+        out = jnp.dot(y, w2_ref[l], preferred_element_type=jnp.float32)
+        o = (out + o + b2_ref[l, 0].astype(jnp.float32)
+             ).astype(o_ref.dtype).astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(g, s, k)
 
 
-def _tower_vmem_bytes(k, m3, m, hd, s, g, itemsize):
-    """Working-set estimate: double-buffered per-layer weights + the
-    group's resident residual block (+ x in, double-buffered on the
+def _tower_vmem_bytes(k, m3, m, hd, s, g, itemsize, lb=1):
+    """Working-set estimate: double-buffered per-layer-block weights +
+    the group's resident residual block (+ x in, double-buffered on the
     group axis) + the group-flat fp32/bf16 temporaries ([G*S, *] xf,
     qkv, attn, y)."""
-    weights = (k * m3 + hd * k + k * m + m * k) * itemsize * 2
+    weights = (k * m3 + hd * k + k * m + m * k) * itemsize * 2 * lb
     acts = 3 * g * s * k * itemsize          # o resident + x (db)
     temps = g * s * (4 * 2 * k              # xf + o fp32
                      + 4 * m3 + itemsize * m3   # qkv fp32 + cast
@@ -140,12 +152,13 @@ def _tower_g(bsz, k, m3, m, hd, s, itemsize):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "eps", "heads", "head_dim", "interpret", "g"))
+    "eps", "heads", "head_dim", "interpret", "g", "lb"))
 def _tower_fwd(x, w_eff, b_eff, wo, bo, w1, b1, w2, b2,
-               eps, heads, head_dim, interpret, g):
-    # g (batch group per program) is a STATIC jit arg resolved by the
-    # caller (_tower reads UML_TEXT_TOWER_G) so the jit cache keys on it
-    # — an env read inside the traced body would silently pin the
+               eps, heads, head_dim, interpret, g, lb=1):
+    # g (batch group per program) and lb (layers per grid step) are
+    # STATIC jit args resolved by the caller (_tower reads
+    # UML_TEXT_TOWER_G / UML_TEXT_TOWER_LB) so the jit cache keys on
+    # them — an env read inside the traced body would silently pin the
     # first-traced value for every later call of the same shape
     bsz, s, k = x.shape
     layers, _, m3 = w_eff.shape
@@ -155,32 +168,32 @@ def _tower_fwd(x, w_eff, b_eff, wo, bo, w1, b1, w2, b2,
     # the array's, satisfying Mosaic's real-lowering block-shape rule
     # (interpret mode accepts (1, W) over [L, W]; the chip does not)
     b_eff, bo, b1, b2 = (a[:, None] for a in (b_eff, bo, b1, b2))
-    need = _tower_vmem_bytes(k, m3, m, hd, s, g, x.dtype.itemsize)
+    need = _tower_vmem_bytes(k, m3, m, hd, s, g, x.dtype.itemsize, lb)
     cparams = pltpu.CompilerParams(
         vmem_limit_bytes=min(int(need * 1.6) + 2**21, VMEM_CEILING))
     return pl.pallas_call(
         functools.partial(_tower_kernel, eps=eps, heads=heads,
                           head_dim=head_dim),
-        grid=(bsz // g, layers),
+        grid=(bsz // g, layers // lb),
         compiler_params=cparams,
         in_specs=[
             pl.BlockSpec((g, s, k), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, m3), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, k, m3), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m3), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, 1, m3), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hd, k), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, hd, k), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, 1, k), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, m), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, k, m), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, 1, m), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, k), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, m, k), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((lb, 1, k), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, s, k), lambda i, j: (i, 0, 0),
@@ -222,8 +235,12 @@ def _tower(x, w_eff, b_eff, wo, bo, w1, b1, w2, b2, heads, head_dim, eps):
     bsz, s, k = x.shape
     g = _tower_g(bsz, k, w_eff.shape[2], w1.shape[2],
                  heads * head_dim, s, x.dtype.itemsize)
+    layers = w_eff.shape[0]
+    lb = int(os.environ.get("UML_TEXT_TOWER_LB", "1"))
+    while lb > 1 and layers % lb != 0:
+        lb -= 1
     return _tower_fwd(x, w_eff, b_eff, wo, bo, w1, b1, w2, b2,
-                      eps, heads, head_dim, interpret, g)
+                      eps, heads, head_dim, interpret, g, lb)
 
 
 def _tower_vjp_fwd(x, w_eff, b_eff, wo, bo, w1, b1, w2, b2,
