@@ -448,21 +448,9 @@ def run_core():
     _emit({"train_full_finetune_img_per_s": round(rates[0], 1)})
     if do_512:
         _emit({"train_full_finetune_bs512_img_per_s": round(rates[1], 1)})
-        # two-point decomposition of the step: t(B) = f + c*B across the
-        # bs128/bs512 pair (bs512 runs 4 stash-friendly microbatches in
-        # ONE dispatch, so it amortizes everything per-step-fixed).  The
-        # marginal rate 1/c is the framework's steady-state per-image
-        # cost; f bundles the per-step fixed work plus the relay's
-        # per-dispatch round trip (donated steps cannot dispatch ahead:
-        # the next step waits on the donated buffer handoff), which a
-        # real TPU host pays in microseconds, not milliseconds.
-        t128, t512 = 128.0 / rates[0], 512.0 / rates[1]
-        if t512 > t128:
-            c = (t512 - t128) / 384.0
-            _emit({"train_full_finetune_marginal_img_per_s":
-                   round(1.0 / c, 1),
-                   "train_step_fixed_overhead_ms":
-                   round((t128 - 128.0 * c) * 1e3, 1)})
+        marg = train_marginal(rates[0], rates[1])
+        if marg:
+            _emit(marg)
     _mark("core: train measured")
 
     if not lean and left() > 120:
@@ -756,6 +744,25 @@ def pipeline_bench(extract_sum, variables):
         "pipeline_blocked_fetch_frac": round(t_fetch / total, 2),
         "pipeline_blocked_decode_frac": round(t_decode_box[0] / total, 2),
     }
+
+
+def train_marginal(rate_128, rate_512):
+    """Two-point decomposition of the train step: t(B) = f + c*B across
+    the bs128/bs512 pair (bs512 runs 4 stash-friendly microbatches in
+    ONE dispatch, so it amortizes everything per-step-fixed).  The
+    marginal rate 1/c is the framework's steady-state per-image cost;
+    f bundles the per-step fixed work plus the relay's per-dispatch
+    round trip (donated steps cannot dispatch ahead: the next step
+    waits on the donated buffer handoff), which a real TPU host pays
+    in microseconds, not milliseconds.  Returns {} when the pair is
+    degenerate (bs512 not slower in absolute step time)."""
+    t128, t512 = 128.0 / rate_128, 512.0 / rate_512
+    if t512 <= t128:
+        return {}
+    c = (t512 - t128) / 384.0
+    return {"train_full_finetune_marginal_img_per_s": round(1.0 / c, 1),
+            "train_step_fixed_overhead_ms":
+            round((t128 - 128.0 * c) * 1e3, 1)}
 
 
 def train_bench(model, variables, u8_batches):

@@ -280,3 +280,13 @@ def test_run_child_streamed_lines_survive_ok_exit(monkeypatch):
     assert status == "ok"
     assert metrics == {"extract_bf16_img_per_s": 5016.5,
                        "train_full_finetune_img_per_s": 1291.9}
+
+
+def test_train_marginal_two_point_fit():
+    # r5 probe numbers: bs128 1286.3, bs512 1385.7 img/s ->
+    # c = (512/1385.7 - 128/1286.3)/384, marginal = 1/c ~ 1422 img/s
+    m = bench.train_marginal(1286.3, 1385.7)
+    assert 1350 < m["train_full_finetune_marginal_img_per_s"] < 1500
+    assert 5 < m["train_step_fixed_overhead_ms"] < 15
+    # degenerate pair (bs512 faster in absolute step time): no emission
+    assert bench.train_marginal(1000.0, 5000.0) == {}
