@@ -150,12 +150,18 @@ CORE_KEYS = (
 # the ONE full core child (the relay charges ~200-230 s of first-program
 # handshake per process, so extra children are the single most expensive
 # thing a bench can spend budget on)
+# priority order under budget pressure: the text bf16 line carries its
+# own perf criterion (>=80% of the text roofline) and costs ~5 s of
+# measurement once built, so it rides directly after the B/14 line and
+# BEFORE the ~1s/batch ViT-L towers — a watchdog restart (r5: one 480 s
+# no-first-light episode) then sheds the SoL-less extras (B/8, RN50),
+# not a criterion carrier
 FAMILY_SURVEY_ORDER = (
     "extract_dinov2_vitb14_img_per_s",
-    "extract_dinov2_vitl14_img_per_s",
-    "extract_clip_vitl14_img_per_s",
     "extract_text_bf16_sent_per_s",
     "extract_text_int8_sent_per_s",
+    "extract_dinov2_vitl14_img_per_s",
+    "extract_clip_vitl14_img_per_s",
     "extract_dino_vitb8_img_per_s",
     "extract_clip_rn50_img_per_s",
 )
