@@ -122,3 +122,21 @@ def test_text_tower_auto_off_on_cpu():
     want = text_tower_reference(x, *ws, heads=HEADS)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=0, rtol=0)
+
+
+def test_tower_kernel_layer_blocks_match():
+    """UML_TEXT_TOWER_LB > 1 (several layers per grid step) computes the
+    same numbers as LB=1 — the multi-layer body keeps the per-boundary
+    bf16 residual round-trips.  (Perf verdict: LB=1 wins on chip; the
+    mechanism stays tested, tools/exp_text_tower.py.)"""
+    import os
+
+    x, ws = make_weights(jax.random.key(3))
+    base = _tower(x, *ws, HEADS, 64, 1e-5)
+    os.environ["UML_TEXT_TOWER_LB"] = "3"
+    try:
+        lb = _tower(x, *ws, HEADS, 64, 1e-5)
+    finally:
+        os.environ.pop("UML_TEXT_TOWER_LB", None)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(base),
+                               atol=2e-5, rtol=2e-5)

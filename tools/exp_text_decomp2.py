@@ -44,11 +44,13 @@ def main():
     for i in range(cfg.transformer_layers):
         blk = tp[f"resblocks_{i}"]
         w_eff, b_eff = fold_ln_into_matmul(
-            jnp.asarray(blk["ln_1"]["scale"]), jnp.asarray(blk["ln_1"]["bias"]),
+            jnp.asarray(blk["ln_1"]["ln"]["scale"]),
+            jnp.asarray(blk["ln_1"]["ln"]["bias"]),
             jnp.asarray(blk["qkv"]["kernel"], jnp.bfloat16),
             jnp.asarray(blk["qkv"]["bias"]))
         w1_eff, b1_eff = fold_ln_into_matmul(
-            jnp.asarray(blk["ln_2"]["scale"]), jnp.asarray(blk["ln_2"]["bias"]),
+            jnp.asarray(blk["ln_2"]["ln"]["scale"]),
+            jnp.asarray(blk["ln_2"]["ln"]["bias"]),
             jnp.asarray(blk["c_fc"]["kernel"], jnp.bfloat16),
             jnp.asarray(blk["c_fc"]["bias"]))
         parts = (w_eff, b_eff,
